@@ -1,0 +1,75 @@
+"""Engine configuration.
+
+All knobs that define duplicate semantics live here so that "identical
+shingle/signature config" (BASELINE.json north_rule) is a single frozen object whose
+fingerprint is stamped into every checkpointed stage table. The reference hard-codes
+its equivalents (top-k=10 at ``src/BM25DuplicateRetriever.py:13``; 150-dim Doc2Vec at
+``src/lstm-siamese/config.py``); we make them explicit and deterministic.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+# Mersenne prime 2^61 - 1: modulus for the universal-hash MinHash permutations.
+# Classic (a*x + b) mod p construction (Broder 1997, "On the resemblance and
+# containment of documents").
+MERSENNE_PRIME_61 = (1 << 61) - 1
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    """Frozen duplicate-detection semantics. Hash it into stage-table lineage."""
+
+    # --- shingling ---
+    shingle_k: int = 5           # tokens per shingle (w-shingling over normalized tokens)
+    lowercase: bool = True
+
+    # --- MinHash ---
+    num_perms: int = 128         # north_star: "128-perm MinHash per Arrow batch"
+    minhash_seed: int = 42
+
+    # --- LSH banding: num_perms = bands * rows_per_band ---
+    bands: int = 16
+    rows_per_band: int = 8
+
+    # --- SimHash ---
+    simhash_bits: int = 64
+    simhash_seed: int = 7
+    hamming_k: int = 3           # match if Hamming distance <= k (pigeonhole: k+1 pieces)
+
+    # --- verification ---
+    jaccard_threshold: float = 0.8   # exact-verify cutoff for an edge
+    min_overlap_span: int = 50       # tokens: exact-span pass (substring containment)
+
+    # --- skew handling ---
+    max_band_group: int = 64     # band groups larger than this get salted sub-splits
+    salt_buckets: int = 8        # sub-buckets for oversized band groups
+
+    # --- retrieval / evaluation ---
+    top_k: int = 10              # reference: numberOfRelevantQs=10
+
+    # --- execution ---
+    shuffle_partitions: int = 32
+    signature_partitions: int = 32   # repartition width for the signature stage
+
+    extra: dict = field(default_factory=dict, compare=False)
+
+    def __post_init__(self) -> None:
+        if self.bands * self.rows_per_band != self.num_perms:
+            raise ValueError(
+                f"bands*rows_per_band must equal num_perms "
+                f"({self.bands}*{self.rows_per_band} != {self.num_perms})"
+            )
+        if self.simhash_bits not in (32, 64):
+            raise ValueError("simhash_bits must be 32 or 64")
+
+    def fingerprint(self) -> str:
+        """Stable hash of duplicate semantics — stamped into checkpoint lineage so a
+        resume with a different config never silently reuses stale stage tables."""
+        payload = {k: v for k, v in asdict(self).items() if k != "extra"}
+        blob = json.dumps(payload, sort_keys=True).encode("utf-8")
+        return hashlib.sha256(blob).hexdigest()[:16]

@@ -1,0 +1,96 @@
+"""Deterministic 64-bit hashing primitives shared by the signature kernels.
+
+Public constructions only: blake2b (stdlib) for string -> u64 base hashes, the
+splitmix64 finalizer (Steele et al., public domain constants) for cheap vectorized
+mixing, and order-sensitive polynomial combination for token k-shingles.
+
+Everything is seed-parameterized and wall-clock-free so signatures are reproducible
+across runs, partitionings, and parallelism levels (required for the local[8] ==
+local[32] determinism check in BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+_U64 = np.uint64
+_MASK64 = _U64(0xFFFFFFFFFFFFFFFF)
+
+# splitmix64 finalizer constants (public domain)
+_SM_GAMMA = _U64(0x9E3779B97F4A7C15)
+_SM_M1 = _U64(0xBF58476D1CE4E5B9)
+_SM_M2 = _U64(0x94D049BB133111EB)
+
+# distinct odd multipliers for positional shingle combination
+_SHINGLE_MULTS = np.array(
+    [
+        0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+        0xD6E8FEB86659FD93, 0xA0761D6478BD642F, 0xE7037ED1A0B428DB,
+        0x8EBC6AF09C88C6E3, 0x589965CC75374CC3, 0x1D8E4E27C47D124F,
+        0xEB44ACCAB455D165, 0x9C6E6877736C46E3, 0xCB9E59B1D9F0855B,
+    ],
+    dtype=np.uint64,
+)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over a uint64 ndarray."""
+    with np.errstate(over="ignore"):
+        z = (x + _SM_GAMMA) & _MASK64
+        z = ((z ^ (z >> _U64(30))) * _SM_M1) & _MASK64
+        z = ((z ^ (z >> _U64(27))) * _SM_M2) & _MASK64
+        return z ^ (z >> _U64(31))
+
+
+def hash_str_u64(s: str, seed: int = 0) -> int:
+    """Stable 64-bit hash of a string (blake2b, keyed by seed)."""
+    h = hashlib.blake2b(
+        s.encode("utf-8"), digest_size=8, key=seed.to_bytes(8, "little")
+    )
+    return int.from_bytes(h.digest(), "little")
+
+
+class TokenHasher:
+    """Caches token -> u64 hashes across Arrow batches (tokens are Zipfian, so the
+    cache hit-rate is high; one blake2b per *unique* token per executor process)."""
+
+    def __init__(self, seed: int) -> None:
+        self.seed = seed
+        self._cache: dict[str, int] = {}
+
+    def hash_tokens(self, tokens: list[str]) -> np.ndarray:
+        cache = self._cache
+        seed = self.seed
+        out = np.empty(len(tokens), dtype=np.uint64)
+        for i, t in enumerate(tokens):
+            v = cache.get(t)
+            if v is None:
+                v = hash_str_u64(t, seed)
+                if len(cache) < 1_000_000:  # bound executor memory
+                    cache[t] = v
+            out[i] = v
+        return out
+
+
+def shingle_hashes(token_hashes: np.ndarray, k: int) -> np.ndarray:
+    """Order-sensitive k-shingle hashes from token hashes, fully vectorized.
+
+    shingle_i = splitmix64( XOR_j mult_j * token_hash[i+j] ) — positional multipliers
+    keep permuted token windows distinct. Returns empty array when fewer than k tokens.
+    """
+    n = len(token_hashes)
+    if n < k:
+        return np.empty(0, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        acc = (token_hashes[0 : n - k + 1] * _SHINGLE_MULTS[0]) & _MASK64
+        for j in range(1, k):
+            acc = acc ^ ((token_hashes[j : n - k + 1 + j] * _SHINGLE_MULTS[j]) & _MASK64)
+    return splitmix64(acc)
+
+
+def perm_seeds(num_perms: int, seed: int) -> np.ndarray:
+    """Deterministic per-permutation seeds for the MinHash family."""
+    base = np.arange(num_perms, dtype=np.uint64) + _U64(seed & 0xFFFFFFFFFFFFFFFF)
+    return splitmix64(splitmix64(base) ^ _SM_GAMMA)

@@ -1,0 +1,191 @@
+"""MinHash + SimHash signature kernels as Arrow-batched pandas UDFs.
+
+Replaces the reference's candidate/scoring core (BM25Okapi index at
+``/root/reference/src/BM25DuplicateRetriever.py:46-47``, Doc2Vec cosine at
+``src/DuplicateRetriever.py:47``) with deterministic sketches:
+
+- **MinHash** (Broder 1997): ``num_perms`` (default 128) permutations approximated by
+  splitmix64-mixed seed XORs over k-token shingle hashes; ``sig[i] = min_x
+  mix(shingle(x) ^ seed_i)``. E[fraction of equal lanes] = Jaccard(shingles_a,
+  shingles_b).
+- **SimHash** (Charikar 2002): 64-bit; sum ±1 per bit over token hashes weighted by
+  term frequency; Hamming distance approximates cosine distance of the TF vectors —
+  the deterministic stand-in for the reference's Doc2Vec "near in embedding space".
+
+Everything inside the UDF is numpy matrix math over one flat array per Arrow batch —
+no per-row Python on the hot path (BASELINE.json ``input_hint``). The UDF is a narrow
+map: zero shuffle; at cluster scale it parallelizes over input file splits.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from cqaduplicatefind_spark.config import DedupConfig
+from cqaduplicatefind_spark.functions.hashing import (
+    TokenHasher,
+    perm_seeds,
+    shingle_hashes,
+    splitmix64,
+)
+
+_U64 = np.uint64
+_MAX_U64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+SIGNATURE_FIELDS = StructType(
+    [
+        StructField("minhash", ArrayType(LongType()), False),
+        StructField("simhash", LongType(), False),
+        StructField("n_tokens", IntegerType(), False),
+        StructField("n_shingles", IntegerType(), False),
+    ]
+)
+
+
+def minhash_matrix(
+    all_shingles: np.ndarray, offsets: np.ndarray, seeds: np.ndarray, chunk: int = 32
+) -> np.ndarray:
+    """(num_docs, num_perms) uint64 MinHash signatures.
+
+    ``all_shingles``: flat uint64 shingle hashes for the whole batch;
+    ``offsets``: start index per doc (len = num_docs + 1). Empty docs get MAX_U64
+    lanes (never collide). Perms are processed in chunks to bound the (chunk, S)
+    intermediate at a few MB regardless of batch size.
+    """
+    n_docs = len(offsets) - 1
+    n_perms = len(seeds)
+    sig = np.full((n_docs, n_perms), _MAX_U64, dtype=np.uint64)
+    if len(all_shingles) == 0:
+        return sig
+    starts = offsets[:-1]
+    nonempty = offsets[1:] > starts
+    for c0 in range(0, n_perms, chunk):
+        seed_chunk = seeds[c0 : c0 + chunk]
+        mixed = splitmix64(all_shingles[None, :] ^ seed_chunk[:, None])  # (c, S)
+        # reduceat needs strictly valid starts; rows for empty docs are fixed after
+        mins = np.minimum.reduceat(mixed, np.minimum(starts, len(all_shingles) - 1), axis=1)
+        mins[:, ~nonempty] = _MAX_U64
+        sig[:, c0 : c0 + chunk] = mins.T
+    return sig
+
+
+def simhash_vector(
+    all_tokens: np.ndarray, offsets: np.ndarray, bits: int = 64
+) -> np.ndarray:
+    """(num_docs,) uint64 SimHash over flat token hashes (TF-weighted by repetition)."""
+    n_docs = len(offsets) - 1
+    out = np.zeros(n_docs, dtype=np.uint64)
+    if len(all_tokens) == 0:
+        return out
+    starts = offsets[:-1]
+    nonempty = offsets[1:] > starts
+    shifts = np.arange(bits, dtype=np.uint64)
+    # (T, bits) in {-1, +1}
+    bit_signs = (((all_tokens[:, None] >> shifts[None, :]) & _U64(1)).astype(np.int32) * 2 - 1)
+    sums = np.add.reduceat(bit_signs, np.minimum(starts, len(all_tokens) - 1), axis=0)
+    sums[~nonempty, :] = 0
+    packed = (sums > 0).astype(np.uint64) << shifts[None, :]
+    out = np.bitwise_or.reduce(packed, axis=1)
+    out[~nonempty] = 0
+    return out
+
+
+# per numpy-kernel invocation: bounds the (perm_chunk, S) and (T, 64) intermediates
+# to a few hundred MB regardless of Arrow batch size
+_TOKEN_BUDGET = 200_000
+
+
+def compute_signatures_pdf(
+    norm_texts: pd.Series, cfg: DedupConfig, hasher: TokenHasher
+) -> pd.DataFrame:
+    """One Arrow batch of normalized texts -> signature frame. Splits the batch into
+    doc groups of bounded total token count so kernel intermediates stay small."""
+    texts = norm_texts.fillna("")
+    sizes = texts.map(lambda t: t.count(" ") + 1 if t else 0).to_numpy()
+    pieces: list[pd.DataFrame] = []
+    start = 0
+    running = 0
+    for i, s in enumerate(sizes):
+        running += int(s)
+        if running >= _TOKEN_BUDGET and i + 1 > start:
+            pieces.append(_compute_chunk(texts.iloc[start : i + 1], cfg, hasher))
+            start = i + 1
+            running = 0
+    if start < len(texts) or len(texts) == 0:
+        pieces.append(_compute_chunk(texts.iloc[start:], cfg, hasher))
+    return pd.concat(pieces, ignore_index=True) if len(pieces) > 1 else pieces[0]
+
+
+def _compute_chunk(
+    texts: pd.Series, cfg: DedupConfig, hasher: TokenHasher
+) -> pd.DataFrame:
+    token_lists = [(t.split(" ") if t else []) for t in texts]
+    tok_counts = np.array([len(t) for t in token_lists], dtype=np.int64)
+    flat_tokens = [tok for toks in token_lists for tok in toks]
+    tok_hashes = hasher.hash_tokens(flat_tokens)
+    tok_offsets = np.concatenate(([0], np.cumsum(tok_counts)))
+
+    # shingles per doc (vectorized per doc over the flat array slices)
+    shingle_arrays = [
+        shingle_hashes(tok_hashes[tok_offsets[i] : tok_offsets[i + 1]], cfg.shingle_k)
+        for i in range(len(token_lists))
+    ]
+    shingle_counts = np.array([len(a) for a in shingle_arrays], dtype=np.int64)
+    all_shingles = (
+        np.concatenate(shingle_arrays) if shingle_arrays else np.empty(0, dtype=np.uint64)
+    )
+    shingle_offsets = np.concatenate(([0], np.cumsum(shingle_counts)))
+
+    seeds = perm_seeds(cfg.num_perms, cfg.minhash_seed)
+    sig = minhash_matrix(all_shingles, shingle_offsets, seeds)
+    sim = simhash_vector(
+        splitmix64(tok_hashes ^ _U64(cfg.simhash_seed)), tok_offsets, cfg.simhash_bits
+    )
+
+    return pd.DataFrame(
+        {
+            "minhash": list(sig.astype(np.int64)),  # reinterpret-safe: order not used
+            "simhash": sim.astype(np.int64),
+            "n_tokens": tok_counts.astype(np.int32),
+            "n_shingles": shingle_counts.astype(np.int32),
+        }
+    )
+
+
+def make_signature_udf(cfg: DedupConfig):
+    """Build the signature pandas UDF bound to a frozen config (config travels by
+    closure → identical on every executor; no global state)."""
+
+    @F.pandas_udf(SIGNATURE_FIELDS)
+    def signature_udf(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        hasher = TokenHasher(cfg.minhash_seed)  # per-process token-hash cache
+        for batch in it:
+            yield compute_signatures_pdf(batch, cfg, hasher)
+
+    return signature_udf
+
+
+def with_signatures(
+    df: DataFrame, cfg: DedupConfig, norm_col: str = "norm_text"
+) -> DataFrame:
+    """docs(norm_text) -> docs + minhash/simhash/n_tokens/n_shingles columns."""
+    sig = make_signature_udf(cfg)
+    out = df.withColumn("_sig", sig(F.col(norm_col)))
+    return (
+        out.withColumn("minhash", F.col("_sig.minhash"))
+        .withColumn("simhash", F.col("_sig.simhash"))
+        .withColumn("n_tokens", F.col("_sig.n_tokens"))
+        .withColumn("n_shingles", F.col("_sig.n_shingles"))
+        .drop("_sig")
+    )

@@ -1,0 +1,44 @@
+"""SparkSession construction with scale-appropriate defaults.
+
+Centralizes the tuning the north_rule requires to be explicit: shuffle partition
+counts, AQE (runtime coalescing + skew-join splitting), and Arrow batching for the
+pandas-UDF stages. In production these settings ride along spark-submit; tests and
+bench use this helper so every run is reproducible from code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "cqaduplicatefind-spark",
+    master: str | None = None,
+    shuffle_partitions: int = 32,
+    arrow_max_records: int = 2048,
+    extra: dict[str, str] | None = None,
+) -> SparkSession:
+    b = SparkSession.builder.appName(app_name)
+    if master:
+        b = b.master(master)
+    confs = {
+        # explicit shuffle width (north_rule: partitioning handled explicitly);
+        # AQE coalesces down at runtime when partitions are small
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        # hot LSH bands produce skewed shuffle blocks; let AQE split them too
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # Arrow transfer for pandas UDFs; bounded batches keep the numpy signature
+        # kernels' intermediates small and the pipeline memory-stable
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": str(arrow_max_records),
+        "spark.sql.session.timeZone": "UTC",
+        # deterministic shuffle behavior for the local[8]==local[32] check
+        "spark.sql.execution.sortBeforeRepartition": "true",
+    }
+    if extra:
+        confs.update(extra)
+    for k, v in confs.items():
+        b = b.config(k, v)
+    return b.getOrCreate()
