@@ -49,6 +49,10 @@ SIGNATURE_FIELDS = StructType(
         StructField("simhash", LongType(), False),
         StructField("n_tokens", IntegerType(), False),
         StructField("n_shingles", IntegerType(), False),
+        # distinct shingle hashes — exact-Jaccard verification evidence. At cluster
+        # scale this column lives only in the signatures stage table and is pruned
+        # from every scan that doesn't verify.
+        StructField("shingles", ArrayType(LongType()), False),
     ]
 )
 
@@ -153,12 +157,20 @@ def _compute_chunk(
         splitmix64(tok_hashes ^ _U64(cfg.simhash_seed)), tok_offsets, cfg.simhash_bits
     )
 
+    distinct_shingles = [
+        np.unique(
+            all_shingles[shingle_offsets[i] : shingle_offsets[i + 1]]
+        ).astype(np.int64)
+        for i in range(len(token_lists))
+    ]
+
     return pd.DataFrame(
         {
             "minhash": list(sig.astype(np.int64)),  # reinterpret-safe: order not used
             "simhash": sim.astype(np.int64),
             "n_tokens": tok_counts.astype(np.int32),
             "n_shingles": shingle_counts.astype(np.int32),
+            "shingles": distinct_shingles,
         }
     )
 
@@ -187,5 +199,6 @@ def with_signatures(
         .withColumn("simhash", F.col("_sig.simhash"))
         .withColumn("n_tokens", F.col("_sig.n_tokens"))
         .withColumn("n_shingles", F.col("_sig.n_shingles"))
+        .withColumn("shingles", F.col("_sig.shingles"))
         .drop("_sig")
     )

@@ -1,0 +1,115 @@
+"""Iterative large-star/small-star connected components over the candidate-edge
+DataFrame (Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14).
+
+The reference encodes duplicate groups only as per-question ``dups`` lists
+(``/root/reference/src/JsonToCsvConverter.py:17-22``); cluster resolution is the new
+capability the north_rule mandates. Canonical cluster id = min node id in the
+component (FIXTURES.md).
+
+Spark-first design notes:
+
+- No ``collect_list``: star operations are expressed as groupBy-min + join, so a
+  giant component never materializes a giant array in one task.
+- The driver loop iterates O(log n) rounds; each round ``localCheckpoint``s the edge
+  set to cut lineage (otherwise the plan doubles every round and kills the driver —
+  the standard Spark iterative-algorithm trap).
+- Convergence test is an order-insensitive aggregate (count + xor of pair hashes),
+  one cheap action per round.
+- Deterministic under any partitioning/parallelism: every transform is min/union
+  based, so local[8] and local[32] produce identical assignments (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u: connect every strictly-larger neighbor to min(N(u) ∪ {u})."""
+    sym = edges.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")).unionAll(
+        edges.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.select("u", F.least("mn", "u").alias("m"))
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("id_a"), F.col("m").alias("id_b"))
+        .where(F.col("id_a") != F.col("id_b"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges high->low; for each node u: connect u and all smaller neighbors
+    to the smallest of them."""
+    down = edges.select(
+        F.greatest("id_a", "id_b").alias("u"), F.least("id_a", "id_b").alias("v")
+    )
+    mins = down.groupBy("u").agg(F.min("v").alias("m"))
+    out = (
+        down.join(mins, "u")
+        .select(F.col("v").alias("id_a"), F.col("m").alias("id_b"))
+        .unionAll(mins.select(F.col("u").alias("id_a"), F.col("m").alias("id_b")))
+        .where(F.col("id_a") != F.col("id_b"))
+        .distinct()
+    )
+    return out
+
+
+def _edge_checksum(edges: DataFrame):
+    """Order-insensitive fingerprint of an edge set: (count, xor of row hashes)."""
+    row = edges.select(
+        F.xxhash64(F.least("id_a", "id_b"), F.greatest("id_a", "id_b")).alias("h")
+    )
+    agg = row.agg(
+        F.count("*").alias("n"),
+        F.bit_xor("h").alias("s"),  # order-insensitive, no ANSI overflow
+    ).collect()[0]
+    return (agg["n"], agg["s"])
+
+
+def connected_components(
+    edges: DataFrame, max_iterations: int = 50
+) -> DataFrame:
+    """edges(id_a, id_b) -> assignments(id, cluster_id) for every node that appears
+    in an edge. cluster_id = min node id in the component. Callers attach singletons
+    with a left join + coalesce (see ``plans.pipeline``)."""
+    spark = edges.sparkSession
+    cur = (
+        edges.select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .where(F.col("id_a") != F.col("id_b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig = None
+    for _ in range(max_iterations):
+        cur = _small_star(_large_star(cur)).localCheckpoint()
+        sig = _edge_checksum(cur)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iterations} rounds")
+
+    # at convergence every edge is (node, component-min)
+    assign = cur.select(F.col("id_a").alias("id"), F.col("id_b").alias("cluster_id"))
+    roots = cur.select(F.col("id_b").alias("id"), F.col("id_b").alias("cluster_id"))
+    return assign.unionByName(roots).groupBy("id").agg(
+        F.min("cluster_id").alias("cluster_id")
+    )
+
+
+def attach_singletons(
+    all_ids: DataFrame, assignments: DataFrame, id_col: str = "url"
+) -> DataFrame:
+    """Every id gets a cluster: components keep their min-id label, singletons
+    cluster with themselves (FIXTURES.md gold_clusters semantics)."""
+    ids = all_ids.select(F.col(id_col).alias("id"))
+    return ids.join(assignments, "id", "left").select(
+        F.col("id").alias("url"),
+        F.coalesce("cluster_id", "id").alias("cluster_id"),
+    )

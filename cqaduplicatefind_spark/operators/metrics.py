@@ -1,0 +1,122 @@
+"""Evaluation jobs: dup-pair recall/precision vs gold edges, and the reference's
+ranked-retrieval metrics (P@k, MAP) as pure DataFrame aggregations.
+
+Reference semantics reproduced exactly:
+- hit = candidate id in query's ``dups`` list within ranked top-k
+  (``/root/reference/src/BM25DuplicateRetriever.py:85-97``);
+- P@k = foundDups/k averaged over queries that have >= 1 gold dup (``:96,102``);
+- AP for a query = sum over hit ranks j (1-based) of (hits_so_far / j), normalized by
+  |gold dups| — the ``:95`` definition (the true-MAP variant; the reference's
+  Doc2Vec path divides by foundDups instead at ``src/DuplicateRetriever.py:58``,
+  an internal inconsistency SURVEY.md §2.9 resolves in favor of ``:95``);
+- MAP = mean AP over queries with >= 1 gold dup (queries with zero hits contribute
+  AP=0 via the ``foundDups>0`` guard at ``:94`` — same value, no branch needed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def pair_recall(predicted: DataFrame, gold: DataFrame) -> DataFrame:
+    """Canonical-pair recall/precision. predicted/gold: (id_a/src, id_b/dst).
+
+    Output: one row (n_gold, n_pred, n_hit, recall, precision) — the BASELINE.json
+    acceptance metric (dup-pair recall >= 0.99).
+    """
+    p = predicted.select(
+        F.least(predicted.columns[0], predicted.columns[1]).alias("a"),
+        F.greatest(predicted.columns[0], predicted.columns[1]).alias("b"),
+    ).distinct()
+    g = gold.select(
+        F.least(gold.columns[0], gold.columns[1]).alias("a"),
+        F.greatest(gold.columns[0], gold.columns[1]).alias("b"),
+    ).distinct()
+    hit = g.join(p, ["a", "b"], "inner")
+    n_gold, n_pred, n_hit = g.count(), p.count(), hit.count()
+    spark = predicted.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                n_gold,
+                n_pred,
+                n_hit,
+                (n_hit / n_gold) if n_gold else 1.0,
+                (n_hit / n_pred) if n_pred else 1.0,
+            )
+        ],
+        "n_gold long, n_pred long, n_hit long, recall double, precision double",
+    )
+
+
+def clusters_to_pairs(assignments: DataFrame) -> DataFrame:
+    """(url, cluster_id) -> implied duplicate pairs (transitive closure of the
+    assignment). Self-join on cluster_id; cluster sizes are small by construction so
+    the join is benign; a size guard would go here if clusters could be huge."""
+    a = assignments.select(F.col("cluster_id").alias("c"), F.col("url").alias("id_a"))
+    b = assignments.select(F.col("cluster_id").alias("c"), F.col("url").alias("id_b"))
+    return a.join(b, "c").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+
+
+def cluster_exact_match(predicted: DataFrame, gold: DataFrame) -> bool:
+    """Exact cluster-assignment equality (both labeled by min-member url)."""
+    diff1 = predicted.exceptAll(gold).count()
+    diff2 = gold.exceptAll(predicted).count()
+    return diff1 == 0 and diff2 == 0
+
+
+def ranked_retrieval_metrics(
+    ranked: DataFrame,
+    gold_edges: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """ranked: (query_id, candidate_id, score) — scored candidates per query.
+    gold_edges: (src, dst) symmetric-closure applied here.
+
+    Output: one row (n_queries, found_at_k, p_at_k, map) over queries that have
+    >= 1 gold dup — byte-faithful to src/BM25DuplicateRetriever.py:49-103.
+    """
+    sym = gold_edges.select(
+        F.col("src").alias("query_id"), F.col("dst").alias("gold_id")
+    ).unionByName(
+        gold_edges.select(F.col("dst").alias("query_id"), F.col("src").alias("gold_id"))
+    ).distinct()
+
+    n_dups = sym.groupBy("query_id").agg(F.count("*").alias("n_gold"))
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("candidate_id")  # stable tie-break
+    )
+    topk = (
+        ranked.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+    hits = topk.join(
+        sym,
+        (topk.query_id == sym.query_id) & (topk.candidate_id == sym.gold_id),
+        "left_semi",
+    )
+    # AP numerator: at each hit rank j, hits_so_far(j)/j
+    hw = Window.partitionBy("query_id").orderBy("rank")
+    per_hit = hits.withColumn("hits_so_far", F.row_number().over(hw)).withColumn(
+        "ap_term", F.col("hits_so_far").cast("double") / F.col("rank").cast("double")
+    )
+    per_query = (
+        per_hit.groupBy("query_id")
+        .agg(F.count("*").alias("found"), F.sum("ap_term").alias("ap_sum"))
+    )
+    # every query with >= 1 gold dup counts, found or not (reference denominator)
+    stats = (
+        n_dups.join(per_query, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("found", F.lit(0)).alias("found"),
+            (F.coalesce("ap_sum", F.lit(0.0)) / F.col("n_gold")).alias("ap"),
+        )
+    )
+    return stats.agg(
+        F.count("*").alias("n_queries"),
+        F.sum("found").alias("found_at_k"),
+        F.avg(F.col("found").cast("double") / F.lit(float(k))).alias("p_at_k"),
+        F.avg("ap").alias("map"),
+    )

@@ -1,0 +1,113 @@
+"""Per-pair verification & scoring of candidate edges.
+
+Replaces the reference's per-pair neural scorer (Siamese BiLSTM at
+``/root/reference/src/lstm-siamese/model.py:34-123``, token-set "leaks" features at
+``src/lstm-siamese/inputHandler.py:97-98``) with deterministic, JVM-side measures:
+
+- **exact shingle Jaccard** (``array_intersect``/``array_union`` over the distinct
+  shingle-hash arrays) — the precision gate; the reference's leaks feature is exactly
+  this numerator (SURVEY.md U3);
+- **MinHash-estimated Jaccard** (fraction of equal signature lanes, ``zip_with`` +
+  ``aggregate``) — cheap pre-filter so the exact set ops only run on plausible pairs;
+- **SimHash Hamming distance** (``bit_count(xor)``);
+- **containment** (|A ∩ B| / min(|A|,|B|)) — catches the substring-containment pairs
+  the suffix/overlap pass targets (a page embedded in a boilerplate shell has low
+  Jaccard but high containment).
+
+Scale: two shuffle joins (edges x docs on each side) on the doc id; everything else
+is whole-stage-codegen expressions. The doc-side projection carries only
+(id, minhash, simhash, shingles) — Catalyst prunes the rest at the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from cqaduplicatefind_spark.config import DedupConfig
+
+
+def _doc_side(signatures: DataFrame, id_col: str, suffix: str) -> DataFrame:
+    cols = [F.col(id_col).alias(f"id_{suffix}")]
+    for c in ("minhash", "simhash", "shingles"):
+        if c in signatures.columns:
+            cols.append(F.col(c).alias(f"{c}_{suffix}"))
+    return signatures.select(*cols)
+
+
+def est_jaccard_col(a, b):
+    """Fraction of equal MinHash lanes — unbiased Jaccard estimate, JVM-side."""
+    eq = F.zip_with(a, b, lambda x, y: (x == y).cast("int"))
+    return (
+        F.aggregate(eq, F.lit(0), lambda acc, v: acc + v).cast("double")
+        / F.size(a).cast("double")
+    )
+
+
+def score_pairs(
+    pairs: DataFrame,
+    signatures: DataFrame,
+    cfg: DedupConfig,
+    id_col: str = "url",
+    prefilter_margin: float = 0.15,
+) -> DataFrame:
+    """(id_a, id_b) -> scored pairs.
+
+    Output columns: id_a, id_b, est_jaccard, hamming, jaccard, containment.
+    ``jaccard``/``containment`` are exact iff the signature table carries the
+    ``shingles`` column; the MinHash estimate pre-filters pairs more than
+    ``prefilter_margin`` below the threshold so exact set ops run on survivors only.
+    """
+    a = _doc_side(signatures, id_col, "a")
+    b = _doc_side(signatures, id_col, "b")
+    scored = pairs.join(a, "id_a").join(b, "id_b")
+
+    scored = scored.withColumn(
+        "est_jaccard", est_jaccard_col(F.col("minhash_a"), F.col("minhash_b"))
+    ).withColumn(
+        "hamming",
+        F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))),
+    )
+
+    # cheap pre-filter: keep pairs plausibly above threshold by estimate OR close in
+    # Hamming space (SimHash candidates can have low lexical-Jaccard estimates)
+    scored = scored.where(
+        (F.col("est_jaccard") >= F.lit(max(0.0, cfg.jaccard_threshold - prefilter_margin)))
+        | (F.col("hamming") <= F.lit(cfg.hamming_k))
+    )
+
+    if "shingles_a" in scored.columns:
+        inter = F.size(F.array_intersect("shingles_a", "shingles_b"))
+        union = F.size(F.array_union("shingles_a", "shingles_b"))
+        min_sz = F.least(F.size("shingles_a"), F.size("shingles_b"))
+        scored = (
+            scored.withColumn(
+                "jaccard",
+                F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(
+                    F.lit(0.0)
+                ),
+            )
+            .withColumn(
+                "containment",
+                F.when(min_sz > 0, inter.cast("double") / min_sz.cast("double")).otherwise(
+                    F.lit(0.0)
+                ),
+            )
+        )
+    else:
+        scored = scored.withColumn("jaccard", F.col("est_jaccard")).withColumn(
+            "containment", F.col("est_jaccard")
+        )
+
+    return scored.select(
+        "id_a", "id_b", "est_jaccard", "hamming", "jaccard", "containment"
+    )
+
+
+def accept_edges(scored: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Thresholded duplicate edges: exact Jaccard >= threshold, OR near-zero Hamming
+    (SimHash path), OR high containment (substring pairs for the overlap pass)."""
+    return scored.where(
+        (F.col("jaccard") >= F.lit(cfg.jaccard_threshold))
+        | (F.col("hamming") <= F.lit(cfg.hamming_k))
+        | (F.col("containment") >= F.lit(0.95))
+    ).select("id_a", "id_b", "jaccard", "est_jaccard", "hamming", "containment")

@@ -1,0 +1,128 @@
+"""The flagship dedup pipeline: pages -> normalize -> signatures -> LSH+SimHash
+candidates -> exact verify -> duplicate edges -> connected-component clusters ->
+metrics.
+
+This is the Spark re-design of the reference's lifecycle B (SURVEY.md §3.2:
+``BM25DuplicateRetriever.main``): corpus build + BM25 index + per-query top-10 +
+pair scoring + metrics — re-expressed as six declarative stages, each optionally
+checkpointed to a warehouse stage table so any stage resumes idempotently
+(north_rule).
+
+Shuffle budget (the plan you'd want at 10^12 docs):
+  1. normalize+sign: narrow maps over the scan — ZERO shuffle; partition count
+     follows the input splits (``cfg.signature_partitions`` repartition only when
+     the source is pathologically skewed).
+  2. candidates: one shuffle on band key (+ one on simhash piece key), one on the
+     pair key for dedup.
+  3. verify: two id-key shuffles (attach signature evidence to each pair side).
+  4. clustering: O(log n) rounds over the (tiny) accepted-edge set.
+  5. metrics: counts on edges/clusters — negligible.
+Every stage's output is columnar-prunable; nothing materializes O(n^2).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cqaduplicatefind_spark.config import DedupConfig
+from cqaduplicatefind_spark.functions.html_strip import with_extracted_text
+from cqaduplicatefind_spark.functions.normalize import with_normalized_text
+from cqaduplicatefind_spark.functions.signatures import with_signatures
+from cqaduplicatefind_spark.operators.candidates import (
+    minhash_lsh_candidates,
+    simhash_candidates,
+)
+from cqaduplicatefind_spark.operators.connected_components import (
+    attach_singletons,
+    connected_components,
+)
+from cqaduplicatefind_spark.operators.verify import accept_edges, score_pairs
+from cqaduplicatefind_spark.sources.warehouse import Warehouse
+
+
+@dataclass
+class PipelineResult:
+    signatures: DataFrame
+    candidates: DataFrame
+    scored: DataFrame
+    edges: DataFrame
+    clusters: DataFrame
+    stage_metrics: dict = field(default_factory=dict)
+
+
+def normalize_stage(pages: DataFrame, cfg: DedupConfig, use_html: bool = False) -> DataFrame:
+    """pages(url, [html], text, lang) -> (url, norm_text). If ``use_html`` the text
+    column is re-extracted from html (byte-identical invariant); default trusts the
+    provided text column (it must equal strip_tags(html) — verified by tests)."""
+    df = pages
+    if use_html:
+        df = with_extracted_text(df, "html", "text")
+    return with_normalized_text(df, "text", "norm_text").select(
+        "url", "norm_text"
+    )
+
+
+def signature_stage(normalized: DataFrame, cfg: DedupConfig) -> DataFrame:
+    return with_signatures(normalized, cfg, "norm_text").select(
+        "url", "minhash", "simhash", "n_tokens", "n_shingles", "shingles"
+    )
+
+
+def candidate_stage(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
+    mh = minhash_lsh_candidates(signatures.select("url", "minhash"), cfg)
+    sh = simhash_candidates(signatures.select("url", "simhash"), cfg)
+    return mh.unionByName(sh).dropDuplicates(["id_a", "id_b"])
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    cfg: DedupConfig,
+    warehouse: Warehouse | None = None,
+    use_html: bool = False,
+) -> PipelineResult:
+    """Run (or resume) the full dedup pipeline. With a warehouse, every stage is
+    checkpointed + resumable; without, it's one lazy plan."""
+
+    def stage(name: str, compute):
+        if warehouse is None:
+            return compute()
+        return warehouse.get_or_compute(spark, name, compute)
+
+    signatures = stage(
+        "signatures",
+        lambda: signature_stage(normalize_stage(pages, cfg, use_html), cfg),
+    )
+    candidates = stage("candidate_pairs", lambda: candidate_stage(signatures, cfg))
+    scored = stage("scored_pairs", lambda: score_pairs(candidates, signatures, cfg))
+    edges = stage("dup_edges", lambda: accept_edges(scored, cfg))
+    clusters = stage(
+        "clusters",
+        lambda: attach_singletons(
+            pages.select("url"), connected_components(edges.select("id_a", "id_b"))
+        ),
+    )
+
+    stage_metrics: dict = {}
+    if warehouse is not None:
+        for t in ("signatures", "candidate_pairs", "scored_pairs", "dup_edges", "clusters"):
+            stage_metrics[t] = warehouse.manifest(t).get("row_count")
+
+    return PipelineResult(signatures, candidates, scored, edges, clusters, stage_metrics)
+
+
+def dedup_clusters_df(spark: SparkSession, pages: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Convenience: pages -> (url, cluster_id), single lazy plan."""
+    return run_pipeline(spark, pages, cfg).clusters
+
+
+def cluster_summary(clusters: DataFrame) -> DataFrame:
+    """Per-cluster rollup (size, members count) — the 'which pages are duplicates'
+    answer shape."""
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count("*").alias("size"))
+        .withColumn("is_duplicate_cluster", F.col("size") > 1)
+    )

@@ -123,10 +123,15 @@ def generate_pages(spec: FixtureSpec = FixtureSpec()):
                 cut = max(spec.min_tokens, int(len(template) * 0.9))
                 member = template[:cut] + ["footer000", "footer001", "footer002"]
             else:
-                member = [
-                    rnd.choice(vocab) if rnd.random() < spec.near_dup_edit_rate else t
-                    for t in template
-                ]
+                # near-duplicate: mutate a capped number of positions so the
+                # template<->member shingle Jaccard stays ~0.9 (>= dup threshold)
+                # regardless of doc length: m token edits cost <= 2*k*m shingles,
+                # J >= (n - k*m)/(n + k*m); m <= n/50 with k=5 gives J >= ~0.82.
+                n = len(template)
+                m = max(1, min(int(n * spec.near_dup_edit_rate), n // 50))
+                member = list(template)
+                for pos in rnd.sample(range(n), m):
+                    member[pos] = rnd.choice(vocab)
             docs.append((member, ci))
     for _ in range(n_singletons):
         n_tok = rnd.randint(spec.min_tokens, spec.max_tokens)
