@@ -84,10 +84,18 @@ def shingle_hashes(token_hashes: np.ndarray, k: int) -> np.ndarray:
     if n < k:
         return np.empty(0, dtype=np.uint64)
     with np.errstate(over="ignore"):
-        acc = (token_hashes[0 : n - k + 1] * _SHINGLE_MULTS[0]) & _MASK64
+        acc = (token_hashes[0 : n - k + 1] * _shingle_mult(0)) & _MASK64
         for j in range(1, k):
-            acc = acc ^ ((token_hashes[j : n - k + 1 + j] * _SHINGLE_MULTS[j]) & _MASK64)
+            acc = acc ^ ((token_hashes[j : n - k + 1 + j] * _shingle_mult(j)) & _MASK64)
     return splitmix64(acc)
+
+
+def _shingle_mult(j: int) -> np.uint64:
+    """Positional multiplier: fixed table for small j (pins existing signatures),
+    derived odd constants beyond it (arbitrary window lengths, e.g. span search)."""
+    if j < len(_SHINGLE_MULTS):
+        return _SHINGLE_MULTS[j]
+    return splitmix64(np.uint64(j) * _SM_GAMMA % _MASK64) | _U64(1)
 
 
 def perm_seeds(num_perms: int, seed: int) -> np.ndarray:

@@ -1,0 +1,52 @@
+"""Top-k retrieval per query — the reference's flagship API shape.
+
+Reference: BM25 top-10 per query (``/root/reference/src/BM25DuplicateRetriever.py:63``)
+re-ranked by pair score (``:73-77``); Doc2Vec ``most_similar(topn=10)``
+(``src/DuplicateRetriever.py:47``). Here: the scored candidate-pair DataFrame is
+symmetrized (each pair serves both directions, mirroring the reference's
+query->candidate orientation), ranked per query by a pluggable score column, and
+truncated with a window ``row_number() <= k`` — the distributed top-k that never
+materializes a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def symmetrize_scored(scored: DataFrame, score_col: str = "jaccard") -> DataFrame:
+    """(id_a, id_b, score...) -> (query_id, candidate_id, score), both directions."""
+    fwd = scored.select(
+        F.col("id_a").alias("query_id"),
+        F.col("id_b").alias("candidate_id"),
+        F.col(score_col).alias("score"),
+    )
+    rev = scored.select(
+        F.col("id_b").alias("query_id"),
+        F.col("id_a").alias("candidate_id"),
+        F.col(score_col).alias("score"),
+    )
+    return fwd.unionByName(rev)
+
+
+def topk_per_query(
+    ranked: DataFrame, k: int = 10, query_col: str = "query_id",
+    score_col: str = "score", candidate_col: str = "candidate_id",
+) -> DataFrame:
+    """Window top-k: rank desc by score, deterministic tie-break on candidate id.
+    Shuffles once on query_id; each partition sorts locally (no global sort)."""
+    w = Window.partitionBy(query_col).orderBy(
+        F.desc(score_col), F.asc(candidate_col)
+    )
+    return (
+        ranked.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def retrieve_duplicates(
+    scored: DataFrame, k: int = 10, score_col: str = "jaccard"
+) -> DataFrame:
+    """The reference's retrieval answer shape: for every document, its top-k most
+    similar candidates with scores and ranks."""
+    return topk_per_query(symmetrize_scored(scored, score_col), k)

@@ -118,6 +118,22 @@ def dedup_clusters_df(spark: SparkSession, pages: DataFrame, cfg: DedupConfig) -
     return run_pipeline(spark, pages, cfg).clusters
 
 
+def retrieval_scored_pairs(result: PipelineResult, cfg: DedupConfig) -> DataFrame:
+    """Scored pairs for the retrieval API: direct candidates UNION pairs implied by
+    the final clusters (transitive closure). Sibling docs connected only through a
+    hub (template) are retrievable this way even when their direct Jaccard sits
+    below the LSH collision curve — mirroring the reference's behavior where BM25
+    retrieves any lexically-close candidate (src/BM25DuplicateRetriever.py:63).
+    Closure pairs are bounded by cluster sizes, so this never approaches O(n^2)."""
+    from cqaduplicatefind_spark.operators.metrics import clusters_to_pairs
+
+    closure = clusters_to_pairs(result.clusters)
+    pairs = result.candidates.select("id_a", "id_b").unionByName(closure).dropDuplicates(
+        ["id_a", "id_b"]
+    )
+    return score_pairs(pairs, result.signatures, cfg, prefilter_margin=1.0)
+
+
 def cluster_summary(clusters: DataFrame) -> DataFrame:
     """Per-cluster rollup (size, members count) — the 'which pages are duplicates'
     answer shape."""

@@ -1,0 +1,186 @@
+"""Overlap-span pass, top-k retrieval, and P@10/MAP metric parity tests."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cqaduplicatefind_spark.functions.hashing import TokenHasher
+from cqaduplicatefind_spark.operators.metrics import ranked_retrieval_metrics
+from cqaduplicatefind_spark.operators.overlap import (
+    longest_common_span,
+    overlap_spans,
+)
+from cqaduplicatefind_spark.operators.topk import retrieve_duplicates, topk_per_query
+
+
+# ---------- longest_common_span kernel ----------
+
+def _h(tokens):
+    return TokenHasher(0).hash_tokens(tokens)
+
+
+def _oracle_lcs(a, b):
+    """O(n*m) DP longest common substring over token lists."""
+    best = 0
+    prev = [0] * (len(b) + 1)
+    for i in range(1, len(a) + 1):
+        cur = [0] * (len(b) + 1)
+        for j in range(1, len(b) + 1):
+            if a[i - 1] == b[j - 1]:
+                cur[j] = prev[j - 1] + 1
+                best = max(best, cur[j])
+        prev = cur
+    return best
+
+
+@pytest.mark.parametrize(
+    "a,b",
+    [
+        ("a b c d e", "x b c d y"),
+        ("a b c", "a b c"),
+        ("a b c", "d e f"),
+        ("a", "a"),
+        ("", "a b"),
+        ("a b a b a", "b a b"),
+        ("q w e r t y u i", "z x e r t y c v"),
+    ],
+)
+def test_span_kernel_vs_dp_oracle(a, b):
+    ta, tb = a.split() if a else [], b.split() if b else []
+    got = longest_common_span(_h(ta) if ta else np.empty(0, np.uint64),
+                              _h(tb) if tb else np.empty(0, np.uint64))
+    assert got == _oracle_lcs(ta, tb)
+
+
+def test_span_kernel_random_vs_dp(seed=5):
+    import random
+
+    rnd = random.Random(seed)
+    for _ in range(30):
+        n, m = rnd.randint(0, 40), rnd.randint(0, 40)
+        a = [rnd.choice("abcde") for _ in range(n)]
+        b = [rnd.choice("abcde") for _ in range(m)]
+        got = longest_common_span(
+            _h(a) if a else np.empty(0, np.uint64),
+            _h(b) if b else np.empty(0, np.uint64),
+        )
+        assert got == _oracle_lcs(a, b), (a, b)
+
+
+def test_overlap_spans_df(spark):
+    docs = spark.createDataFrame(
+        [
+            ("u1", "the quick brown fox jumps over the lazy dog"),
+            ("u2", "xx quick brown fox jumps yy zz"),
+            ("u3", "totally different words here"),
+        ],
+        "url string, norm_text string",
+    )
+    pairs = spark.createDataFrame(
+        [("u1", "u2"), ("u1", "u3")], "id_a string, id_b string"
+    )
+    got = {(r.id_a, r.id_b): r.overlap_span for r in overlap_spans(pairs, docs).collect()}
+    assert got[("u1", "u2")] == 4  # "quick brown fox jumps"
+    assert got[("u1", "u3")] == 0
+
+
+# ---------- top-k ----------
+
+def test_topk_per_query(spark):
+    rows = [("q1", f"c{i}", float(i)) for i in range(20)]
+    df = spark.createDataFrame(rows, "query_id string, candidate_id string, score double")
+    got = topk_per_query(df, k=5).orderBy("rank").collect()
+    assert [r.candidate_id for r in got] == ["c19", "c18", "c17", "c16", "c15"]
+    assert [r.rank for r in got] == [1, 2, 3, 4, 5]
+
+
+def test_topk_tie_break_deterministic(spark):
+    rows = [("q1", c, 1.0) for c in ["cB", "cA", "cC"]]
+    df = spark.createDataFrame(rows, "query_id string, candidate_id string, score double")
+    got = topk_per_query(df, k=2).orderBy("rank").collect()
+    assert [r.candidate_id for r in got] == ["cA", "cB"]
+
+
+# ---------- P@k / MAP parity with the reference's accumulation loop ----------
+
+def _reference_metrics(ranked_by_query, gold_by_query, k=10):
+    """Literal transcription of src/BM25DuplicateRetriever.py:49-103 semantics."""
+    queriesWithDuplicates = 0
+    precisionAtSum = 0.0
+    sumOfAveragePrecision = 0.0
+    foundDupsAll = 0
+    for q, dupids in gold_by_query.items():
+        if len(dupids) == 0:
+            continue
+        queriesWithDuplicates += 1
+        results = ranked_by_query.get(q, [])[:k]
+        foundDups = 0
+        apForQuery = 0.0
+        for j, cand in enumerate(results):
+            if cand in dupids:
+                foundDups += 1
+                apForQuery += foundDups / (j + 1)
+        if foundDups > 0:
+            sumOfAveragePrecision += apForQuery / len(dupids)
+        precisionAtSum += foundDups / k
+        foundDupsAll += foundDups
+    return (
+        queriesWithDuplicates,
+        foundDupsAll,
+        precisionAtSum / queriesWithDuplicates,
+        sumOfAveragePrecision / queriesWithDuplicates,
+    )
+
+
+def test_metric_parity_with_reference_loop(spark):
+    gold = {
+        "q1": {"d1", "d2"},
+        "q2": {"d9"},
+        "q3": {"d5", "d6", "d7"},
+        "q4": set(),  # no dups: excluded from denominators
+    }
+    ranked = {
+        "q1": ["d1", "x1", "d2", "x2"],
+        "q2": ["x3", "x4"],
+        "q3": ["d6", "x5", "x6", "x7", "x8", "x9", "xa", "xb", "xc", "d5", "d7"],
+    }
+    # the engine treats gold edges symmetrically (dup relations are symmetric,
+    # src/JsonToCsvConverter.py:17-22), so the oracle loop runs on the closure
+    gold_sym: dict[str, set] = {}
+    for q, ds in gold.items():
+        gold_sym.setdefault(q, set()).update(ds)
+        for d in ds:
+            gold_sym.setdefault(d, set()).add(q)
+    n_q, found, p_at_k, map_ = _reference_metrics(ranked, gold_sym)
+
+    gold_edges = spark.createDataFrame(
+        [(q, d) for q, ds in gold.items() for d in ds], "src string, dst string"
+    )
+    rows = [
+        (q, c, float(len(cands) - i))
+        for q, cands in ranked.items()
+        for i, c in enumerate(cands)
+    ]
+    scored = spark.createDataFrame(rows, "query_id string, candidate_id string, score double")
+    got = ranked_retrieval_metrics(scored, gold_edges, k=10).collect()[0]
+    assert got.n_queries == n_q
+    assert got.found_at_k == found
+    assert got.p_at_k == pytest.approx(p_at_k)
+    assert got.map == pytest.approx(map_)
+
+
+def test_retrieval_on_fixture_finds_gold(spark, tiny_fixture, cfg):
+    from cqaduplicatefind_spark.plans.pipeline import (
+        retrieval_scored_pairs,
+        run_pipeline,
+    )
+
+    pages, gold_edges, _ = tiny_fixture
+    result = run_pipeline(spark, pages, cfg)
+    ranked = retrieve_duplicates(retrieval_scored_pairs(result, cfg), k=cfg.top_k)
+    m = ranked_retrieval_metrics(
+        ranked.select("query_id", "candidate_id", "score"), gold_edges, k=cfg.top_k
+    ).collect()[0]
+    # every gold dup should be retrieved in top-10 on the fixture (clusters < 10)
+    assert m.p_at_k > 0
+    assert m.map >= 0.99, m.asDict()
