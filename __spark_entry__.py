@@ -1,38 +1,610 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship near-duplicate clustering pipeline on the
+sf0.001 ``documents`` table. ``queries()`` exposes one entry per implemented
+operator family from SURVEY.md §2 (plus the training-data-pipeline operators);
+``oracle_sql()`` gives the DuckDB-equivalent SQL for every SQL-expressible one.
+
+Conventions for oracle parity:
+- every computed column is aliased identically on both sides;
+- double-valued outputs are rounded (engines sum in different orders);
+- rankings break ties deterministically on the id column, ranking on the
+  *rounded* score so both engines make identical ordering decisions.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from cqaduplicatefind_spark.config import DedupConfig
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# --------------------------------------------------------------------------
+# flagship: near-duplicate clustering of the documents table
+# --------------------------------------------------------------------------
+
+def _doc_config() -> DedupConfig:
+    # documents are short (tens of tokens): 3-token shingles, verify at 0.7
+    return DedupConfig(shingle_k=3, jaccard_threshold=0.7)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: cluster near-duplicate documents,
+    return (url, cluster_id, size of cluster)."""
+    from cqaduplicatefind_spark.plans.pipeline import run_pipeline
 
+    docs = _read(spark, "/root/testdata/sf0.001", "documents")
+    pages = docs.select(
+        F.col("doc_id").cast("string").alias("url"), F.col("text")
+    )
+    result = run_pipeline(spark, pages, _doc_config())
+    sizes = result.clusters.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return result.clusters.join(sizes, "cluster_id").select(
+        "url", "cluster_id", "cluster_size"
+    )
+
+
+# --------------------------------------------------------------------------
+# query registry: name -> (spark_fn, oracle_sql | None)
+# --------------------------------------------------------------------------
+
+_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def _register(name: str, sql: str | None):
+    def deco(fn):
+        _REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+# ---------- scans / projections / filters (SURVEY §2.1-2.2) ----------
+
+@_register(
+    "projection_pushdown",
+    """
+    SELECT l_orderkey, l_partkey, round(l_extendedprice, 4) AS price
+    FROM lineitem
+    """,
+)
+def q_projection(spark, sf):
+    return _read(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey", F.round("l_extendedprice", 4).alias("price")
+    )
+
+
+@_register(
+    "filter_predicate",
+    """
+    SELECT l_orderkey, l_linenumber, l_returnflag
+    FROM lineitem
+    WHERE l_returnflag = 'R' AND l_quantity > 30
+    """,
+)
+def q_filter(spark, sf):
+    li = _read(spark, sf, "lineitem")
+    return li.where((F.col("l_returnflag") == "R") & (F.col("l_quantity") > 30)).select(
+        "l_orderkey", "l_linenumber", "l_returnflag"
+    )
+
+
+@_register(
+    "semi_join_filter",
+    """
+    SELECT o_orderkey, o_custkey
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    """,
+)
+def q_semi_join(spark, sf):
+    o = _read(spark, sf, "orders")
+    c = _read(spark, sf, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    return o.join(c, o.o_custkey == c.c_custkey, "left_semi").select(
+        "o_orderkey", "o_custkey"
+    )
+
+
+@_register(
+    "anti_join_gold_check",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def q_anti_join(spark, sf):
+    c = _read(spark, sf, "customer")
+    o = _read(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# ---------- joins (SURVEY §2.3) ----------
+
+@_register(
+    "broadcast_dim_join",
+    """
+    SELECT c.c_custkey, n.n_name AS nation, round(c.c_acctbal, 4) AS acctbal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+)
+def q_broadcast_join(spark, sf):
+    c = _read(spark, sf, "customer")
+    n = _read(spark, sf, "nation")
+    return c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_custkey", F.col("n_name").alias("nation"), F.round("c_acctbal", 4).alias("acctbal")
+    )
+
+
+@_register(
+    "multiway_join_agg",
+    """
+    SELECT r.r_name AS region, count(*) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def q_multiway_join(spark, sf):
+    o = _read(spark, sf, "orders")
+    c = _read(spark, sf, "customer")
+    n = _read(spark, sf, "nation")
+    r = _read(spark, sf, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@_register(
+    "cross_join_tiny",
+    """
+    SELECT r.r_name AS r_name, n.n_name AS n_name
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def q_cross_join(spark, sf):
+    r = _read(spark, sf, "region")
+    n = _read(spark, sf, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+# ---------- aggregations (SURVEY §2.4) ----------
+
+@_register(
+    "groupby_agg_tpch_q1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 6) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1(spark, sf):
+    li = _read(spark, sf, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@_register(
+    "groupby_count_histogram",
+    "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+)
+def q_groupby_count(spark, sf):
+    return _read(spark, sf, "events").groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+@_register(
+    "distinct_union",
+    """
+    SELECT DISTINCT k FROM (
+      SELECT l_partkey AS k FROM lineitem
+      UNION ALL
+      SELECT p_partkey AS k FROM part
+    )
+    """,
+)
+def q_distinct_union(spark, sf):
+    li = _read(spark, sf, "lineitem").select(F.col("l_partkey").alias("k"))
+    p = _read(spark, sf, "part").select(F.col("p_partkey").alias("k"))
+    return li.unionByName(p).distinct()
+
+
+@_register(
+    "accuracy_metric",
+    """
+    SELECT round(avg(CASE WHEN o_totalprice > 100000 THEN 1.0 ELSE 0.0 END), 6)
+           AS accuracy
+    FROM orders
+    """,
+)
+def q_accuracy(spark, sf):
+    o = _read(spark, sf, "orders")
+    return o.agg(
+        F.round(
+            F.avg(F.when(F.col("o_totalprice") > 100000, 1.0).otherwise(0.0)), 6
+        ).alias("accuracy")
+    )
+
+
+# ---------- sorts / top-k (SURVEY §2.5) ----------
+
+@_register(
+    "window_topk_per_group",
+    """
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS price,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY round(o_totalprice, 4) DESC, o_orderkey) AS rank
+      FROM orders
+    ) WHERE rank <= 3
+    """,
+)
+def q_window_topk(spark, sf):
+    o = _read(spark, sf, "orders").withColumn("price", F.round("o_totalprice", 4))
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("price"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "price", "rank")
+    )
+
+
+@_register(
+    "global_topn",
+    """
+    SELECT o_orderkey, round(o_totalprice, 4) AS price
+    FROM orders ORDER BY round(o_totalprice, 4) DESC, o_orderkey LIMIT 20
+    """,
+)
+def q_global_topn(spark, sf):
+    o = _read(spark, sf, "orders").withColumn("price", F.round("o_totalprice", 4))
+    return o.orderBy(F.desc("price"), F.asc("o_orderkey")).select(
+        "o_orderkey", "price"
+    ).limit(20)
+
+
+# ---------- events: time windows ----------
+
+@_register(
+    "time_window_agg",
+    """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*) AS n, round(sum(value), 4) AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_time_window(spark, sf):
+    e = _read(spark, sf, "events")
+    return e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), F.col("event_type")
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+
+
+# ---------- documents: dedup / text-analysis operators ----------
+
+@_register(
+    "exact_dedup_hash_groups",
+    """
+    SELECT md5(text) AS text_hash, count(*) AS dup_count,
+           min(doc_id) AS canonical_doc
+    FROM documents GROUP BY md5(text) HAVING count(*) > 1
+    """,
+)
+def q_exact_dedup(spark, sf):
+    d = _read(spark, sf, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(F.count("*").alias("dup_count"), F.min("doc_id").alias("canonical_doc"))
+        .where(F.col("dup_count") > 1)
+    )
+
+
+@_register(
+    "token_count_stats",
+    """
+    SELECT lang,
+           count(*) AS n_docs,
+           round(avg(len(string_split(text, ' '))), 6) AS avg_tokens,
+           max(len(string_split(text, ' '))) AS max_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def q_token_stats(spark, sf):
+    d = _read(spark, sf, "documents").withColumn(
+        "n_tok", F.size(F.split("text", " "))
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_tok"), 6).alias("avg_tokens"),
+        F.max("n_tok").alias("max_tokens"),
+    )
+
+
+@_register(
+    "ngram_jaccard_pairs",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    idx AS (SELECT doc_id, t, unnest(range(len(t) - 2)) AS i FROM toks),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(t, i + 1, i + 3), ' ') AS g
+      FROM idx
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM grams a JOIN grams b USING (g)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+    FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+    """,
+)
+def q_ngram_jaccard(spark, sf):
+    d = _read(spark, sf, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    ).where(F.size("t") >= 3)
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 3),
+                lambda i: F.concat_ws(" ", F.slice("t", i + 1, 3)),
+            )
+        ).alias("g"),
+    ).distinct()
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = grams.select(F.col("doc_id").alias("id_a"), "g")
+    b = grams.select(F.col("doc_id").alias("id_b"), "g")
+    inter = (
+        a.join(b, "g")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    j = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(j >= 0.5)
+        .select("id_a", "id_b", F.round(j, 6).alias("jaccard"))
+    )
+
+
+@_register(
+    "minhash_md5_signatures",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    idx AS (SELECT doc_id, t, unnest(range(len(t) - 2)) AS i FROM toks),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(t, i + 1, i + 3), ' ') AS g
+      FROM idx
+    )
+    SELECT doc_id, perm, min(md5(perm::VARCHAR || ':' || g)) AS minhash
+    FROM grams, range(16) p(perm)
+    GROUP BY doc_id, perm
+    """,
+)
+def q_minhash_md5(spark, sf):
+    d = _read(spark, sf, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    ).where(F.size("t") >= 3)
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 3),
+                lambda i: F.concat_ws(" ", F.slice("t", i + 1, 3)),
+            )
+        ).alias("g"),
+    ).distinct()
+    perms = grams.select(
+        "doc_id", "g", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("perm")
+    )
+    return perms.groupBy("doc_id", "perm").agg(
+        F.min(F.md5(F.concat(F.col("perm").cast("string"), F.lit(":"), F.col("g")))).alias(
+            "minhash"
+        )
+    )
+
+
+@_register(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           md5(array_to_string(list_slice(string_split(text, ' '), 1, 8), ' '))
+             AS fingerprint
+    FROM documents
+    """,
+)
+def q_fingerprint(spark, sf):
+    d = _read(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice(F.split("text", " "), 1, 8))).alias(
+            "fingerprint"
+        ),
+    )
+
+
+@_register(
+    "quality_score",
+    """
+    SELECT doc_id,
+           round(len(string_split(text, ' ')) * 1.0
+                 / greatest(n_chars, 1), 6) AS tokens_per_char,
+           round(len(list_filter(string_split(text, ' '), w -> len(w) >= 6)) * 1.0
+                 / greatest(len(string_split(text, ' ')), 1), 6) AS long_word_ratio
+    FROM documents
+    """,
+)
+def q_quality(spark, sf):
+    d = _read(spark, sf, "documents").withColumn("t", F.split("text", " "))
+    return d.select(
+        "doc_id",
+        F.round(
+            F.size("t") / F.greatest(F.col("n_chars"), F.lit(1)), 6
+        ).alias("tokens_per_char"),
+        F.round(
+            F.size(F.filter("t", lambda w: F.length(w) >= 6))
+            / F.greatest(F.size("t"), F.lit(1)),
+            6,
+        ).alias("long_word_ratio"),
+    )
+
+
+# ---------- embeddings: similarity search ----------
+
+@_register(
+    "embedding_norms",
+    """
+    SELECT vec_id, label,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> x::DOUBLE * x::DOUBLE))), 6) AS l2_norm
+    FROM embeddings
+    """,
+)
+def q_embedding_norms(spark, sf):
+    e = _read(spark, sf, "embeddings")
+    sq = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return e.select("vec_id", "label", F.round(F.sqrt(sq), 6).alias("l2_norm"))
+
+
+def _cosine(a, b):
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    return dot / (na * nb)
+
+
+@_register(
+    "ann_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT qid, vec_id AS cand,
+             round(
+               list_sum(list_transform(range(len(qv)),
+                        i -> qv[i + 1]::DOUBLE * embedding[i + 1]::DOUBLE))
+               / (sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE)))
+                  * sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))),
+               6) AS cosine
+      FROM q JOIN embeddings ON vec_id <> qid
+    )
+    SELECT * FROM (
+      SELECT qid, cand, cosine,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cand) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q_ann_topk(spark, sf):
+    e = _read(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        q.crossJoin(e)
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("cand"),
+            F.round(_cosine(F.col("qv"), F.col("embedding")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cand"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("qid", "cand", "cosine", "rank")
+    )
+
+
+# ---------- non-SQL-expressible: the dedup pipeline itself (rows-only check) ----------
+
+@_register("dedup_pipeline_clusters", None)
+def q_pipeline_clusters(spark, sf):
+    from cqaduplicatefind_spark.plans.pipeline import run_pipeline
+
+    docs = _read(spark, sf, "documents")
+    pages = docs.select(F.col("doc_id").cast("string").alias("url"), "text")
+    result = run_pipeline(spark, pages, _doc_config())
+    return result.clusters
+
+
+@_register("dedup_pipeline_candidate_pairs", None)
+def q_pipeline_pairs(spark, sf):
+    from cqaduplicatefind_spark.plans.pipeline import run_pipeline
+
+    docs = _read(spark, sf, "documents")
+    pages = docs.select(F.col("doc_id").cast("string").alias("url"), "text")
+    result = run_pipeline(spark, pages, _doc_config())
+    return result.edges.select("id_a", "id_b")
+
+
+# --------------------------------------------------------------------------
+# contract surface
+# --------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
