@@ -1,0 +1,193 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Headline queries = the flagship dedup pipeline over a synthetic Common-Crawl-style
+pages table derived deterministically from the documents table (scaled), plus the
+heavier driver-contract queries. Each timing covers plan + execution to a count/write
+action (results are row-counted, never collected to the driver).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from cqaduplicatefind_spark.config import DedupConfig
+from cqaduplicatefind_spark.session import build_session
+
+
+def _timed(fn):
+    t0 = time.perf_counter()
+    n = fn()
+    return time.perf_counter() - t0, n
+
+
+def make_pages(spark, sf_dir: str, replicate: int = 20):
+    """Deterministic bench corpus: replicate the documents table with token-level
+    perturbations so ~30% of docs form near-dup clusters (same generator semantics
+    as fixtures, but built distributed — scales with sf)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    reps = spark.range(replicate).select(F.col("id").alias("rep"))
+    base = docs.crossJoin(reps).select(
+        F.concat(F.col("doc_id").cast("string"), F.lit("-"), F.col("rep")).alias("url"),
+        F.col("doc_id"),
+        F.col("rep"),
+        F.col("text"),
+    )
+    # rep 0 keeps the original text (cluster seed); other reps: ~2/3 get a distinct
+    # token appended at a rep-dependent position (near-dup), 1/3 keep exact text
+    perturbed = base.withColumn(
+        "text",
+        F.when(
+            (F.col("rep") > 0) & (F.col("rep") % 3 != 0),
+            F.concat_ws(
+                " ",
+                F.col("text"),
+                F.concat(F.lit("marker"), F.col("rep").cast("string")),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return perturbed.select("url", "text")
+
+
+def bench_pipeline(spark, sf_dir: str) -> dict[str, float]:
+    from cqaduplicatefind_spark.plans.pipeline import (
+        candidate_stage,
+        normalize_stage,
+        run_pipeline,
+        signature_stage,
+    )
+
+    cfg = DedupConfig(shingle_k=3, jaccard_threshold=0.7)
+    pages = make_pages(spark, sf_dir).cache()
+    n_docs = pages.count()
+
+    times: dict[str, float] = {}
+
+    def _sig():
+        return (
+            signature_stage(normalize_stage(pages, cfg), cfg)
+            .select(F.sum(F.size("minhash")))
+            .collect()
+        )
+
+    # min of two runs: first execution pays one-time per-worker cache warmup
+    # (stemmer/token-hash memos); steady-state is what scales to a cluster
+    t1, _ = _timed(_sig)
+    t2, _ = _timed(_sig)
+    times["signatures"] = min(t1, t2)
+
+    signatures = signature_stage(normalize_stage(pages, cfg), cfg).cache()
+    signatures.count()
+
+    t1, n_cand = _timed(lambda: candidate_stage(signatures, cfg).count())
+    t2, _ = _timed(lambda: candidate_stage(signatures, cfg).count())
+    times["lsh_candidates"] = min(t1, t2)
+    signatures.unpersist()
+
+    # run_pipeline executes the CC driver loop eagerly, so time the whole call
+    def _full():
+        result = bench_pipeline._last = run_pipeline(spark, pages, cfg)
+        n = result.clusters.count()
+        result.signatures.unpersist()
+        return n
+
+    t1, _ = _timed(_full)
+    t2, _ = _timed(_full)
+    times["full_pipeline"] = min(t1, t2)
+    times["_n_docs"] = n_docs
+
+    pages.unpersist()
+    return times
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entry_mod
+
+    names = [
+        "groupby_agg_tpch_q1",
+        "multiway_join_agg",
+        "window_topk_per_group",
+        "ngram_jaccard_pairs",
+        "minhash_md5_signatures",
+        "ann_cosine_topk",
+        "exact_dedup_hash_groups",
+        "time_window_agg",
+    ]
+    qs = entry_mod.queries()
+    out = {}
+    for name in names:
+        # min of two runs: steady-state throughput, not FS-cache/codegen noise
+        t1, _ = _timed(lambda: qs[name](spark, sf_dir).count())
+        t2, _ = _timed(lambda: qs[name](spark, sf_dir).count())
+        out[name] = min(t1, t2)
+    return out
+
+
+def _warmup(spark, cpus: int) -> None:
+    from cqaduplicatefind_spark.functions.signatures import with_signatures
+
+    cfg = DedupConfig(shingle_k=3)
+    df = (
+        spark.range(cpus * 64)
+        .select(
+            F.col("id").cast("string").alias("url"),
+            F.lit("warm up the python worker pool with some tokens").alias("norm_text"),
+        )
+        .repartition(cpus)
+    )
+    with_signatures(df, cfg).select(F.sum("n_shingles")).collect()
+    spark.range(10_000_000).groupBy(F.col("id") % 101).count().count()
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = build_session(
+        app_name="cqadf-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        extra={"spark.ui.enabled": "false", "spark.driver.memory": "48g"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm up the JVM (codegen) and the Python worker pool (numpy/pandas imports in
+    # every worker) so timings reflect steady-state throughput, not interpreter boot
+    _warmup(spark, int(cpus))
+
+    queries: dict[str, float] = {}
+    pipe = bench_pipeline(spark, sf_dir)
+    n_docs = int(pipe.pop("_n_docs"))
+    queries.update({k: round(v, 3) for k, v in pipe.items()})
+    queries.update({k: round(v, 3) for k, v in bench_queries(spark, sf_dir).items()})
+
+    total = round(sum(queries.values()), 3)
+    docs_per_sec = round(n_docs / pipe["full_pipeline"], 1)
+    print(
+        json.dumps(
+            {
+                "metric": "dedup_pipeline+headline_queries",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf_dir,
+                "n_docs": n_docs,
+                "docs_per_sec_full_pipeline": docs_per_sec,
+                "cpus": int(cpus),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

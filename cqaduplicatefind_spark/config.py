@@ -46,7 +46,11 @@ class DedupConfig:
     min_overlap_span: int = 50       # tokens: exact-span pass (substring containment)
 
     # --- skew handling ---
-    max_band_group: int = 64     # band groups larger than this get salted sub-splits
+    # band groups larger than this emit O(m) star edges instead of O(m^2) pairs;
+    # connectivity (= final clusters) is identical, and a pair colliding in every
+    # band otherwise costs bands * C(m,2) shuffle rows. Small groups keep full
+    # pairing for verification robustness.
+    max_band_group: int = 8
     salt_buckets: int = 8        # sub-buckets for oversized band groups
 
     # --- retrieval / evaluation ---

@@ -62,10 +62,27 @@ def review_to_wordlist(review: str, remove_stopwords: bool = True) -> str:
     return " ".join(stem(w) for w in text.split())
 
 
+# process-level memo: dedup corpora are full of byte-identical texts (that's the
+# workload); re-normalizing each copy wastes the whole regex+stem pipeline.
+_NORM_MEMO: dict[str, str] = {}
+_NORM_MEMO_MAX = 200_000
+
+
+def _normalize_memo(v: str | None) -> str | None:
+    if v is None:
+        return None
+    out = _NORM_MEMO.get(v)
+    if out is None:
+        out = review_to_wordlist(v)
+        if len(_NORM_MEMO) < _NORM_MEMO_MAX:
+            _NORM_MEMO[v] = out
+    return out
+
+
 @F.pandas_udf(StringType())
 def normalize_udf(text: pd.Series) -> pd.Series:
     """Arrow-batched review_to_wordlist (stopwords removed, reference default)."""
-    return text.map(lambda v: None if v is None else review_to_wordlist(v))
+    return text.map(_normalize_memo)
 
 
 def with_normalized_text(df, text_col: str = "text", out_col: str = "norm_text"):

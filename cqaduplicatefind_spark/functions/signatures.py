@@ -153,8 +153,14 @@ def _compute_chunk(
 
     seeds = perm_seeds(cfg.num_perms, cfg.minhash_seed)
     sig = minhash_matrix(all_shingles, shingle_offsets, seeds)
+    # SimHash over shingles, not unigrams: unigram SimHash degenerates on
+    # low-vocabulary corpora (unrelated docs land at Hamming ~0); shingle-space
+    # keeps near-dups close while separating merely topic-similar docs
+    # (Henzinger 2006 uses shingle-based features for exactly this reason).
     sim = simhash_vector(
-        splitmix64(tok_hashes ^ _U64(cfg.simhash_seed)), tok_offsets, cfg.simhash_bits
+        splitmix64(all_shingles ^ _U64(cfg.simhash_seed)),
+        shingle_offsets,
+        cfg.simhash_bits,
     )
 
     distinct_shingles = [

@@ -29,17 +29,18 @@ from cqaduplicatefind_spark.config import DedupConfig
 PAIR_COLS = ("id_a", "id_b")
 
 
-def canonical_pairs(df: DataFrame, a: str = "id_a", b: str = "id_b") -> DataFrame:
+def canonical_pairs(df: DataFrame, a: str = "id_a", b: str = "id_b", dedup: bool = True) -> DataFrame:
     """Canonical order (least, greatest) + drop self/duplicate pairs. Mirrors the
-    reference's symmetric dup semantics (src/JsonToCsvConverter.py:17-22)."""
-    return (
-        df.select(
-            F.least(F.col(a), F.col(b)).alias("id_a"),
-            F.greatest(F.col(a), F.col(b)).alias("id_b"),
-        )
-        .where(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    reference's symmetric dup semantics (src/JsonToCsvConverter.py:17-22).
+
+    ``dedup=False`` skips the dropDuplicates shuffle — callers that union several
+    candidate sources dedup ONCE at the end (a pair colliding in many LSH bands
+    otherwise pays one full shuffle per source)."""
+    out = df.select(
+        F.least(F.col(a), F.col(b)).alias("id_a"),
+        F.greatest(F.col(a), F.col(b)).alias("id_b"),
+    ).where(F.col("id_a") < F.col("id_b"))
+    return out.dropDuplicates(["id_a", "id_b"]) if dedup else out
 
 
 def bucket_candidates(
@@ -47,6 +48,7 @@ def bucket_candidates(
     id_col: str = "id",
     key_cols: tuple[str, ...] = ("bucket",),
     max_group: int = 64,
+    dedup: bool = True,
 ) -> DataFrame:
     """(id, bucket-key...) -> candidate edges (id_a, id_b), skew-capped.
 
@@ -55,20 +57,26 @@ def bucket_candidates(
     components, linear output. One extra aggregation pass computes group sizes;
     the join back to the bucket table broadcasts when small, shuffles otherwise.
     """
+    from pyspark.sql import Window
+
     keys = list(key_cols)
     b = buckets.select(F.col(id_col).alias("id"), *keys)
-    stats = b.groupBy(*keys).agg(
-        F.count("*").alias("_n"), F.min("id").alias("_min_id")
+    # group stats via a window over the bucket key: ONE exchange (vs groupBy+join's
+    # two), and the partitioning is reused by everything downstream
+    w = Window.partitionBy(*keys)
+    annotated = (
+        b.withColumn("_n", F.count("*").over(w))
+        .withColumn("_min_id", F.min("id").over(w))
+        .where(F.col("_n") >= 2)  # singleton buckets can't produce pairs
     )
-    # only multi-member groups can produce pairs; prune singletons before the join
-    stats = stats.where(F.col("_n") >= 2)
-    annotated = b.join(stats, keys)
 
     small = annotated.where(F.col("_n") <= max_group)
     left = small.select(*keys, F.col("id").alias("id_a"))
     right = small.select(*keys, F.col("id").alias("id_b"))
     small_pairs = left.join(right, keys).where(F.col("id_a") < F.col("id_b"))
 
+    # hot buckets: O(m) star edges to the bucket minimum — identical connectivity,
+    # never O(m^2); this is the skew guard for boilerplate band collisions
     big_pairs = (
         annotated.where(F.col("_n") > max_group)
         .where(F.col("id") != F.col("_min_id"))
@@ -76,7 +84,7 @@ def bucket_candidates(
     )
 
     return canonical_pairs(
-        small_pairs.select("id_a", "id_b").unionByName(big_pairs)
+        small_pairs.select("id_a", "id_b").unionByName(big_pairs), dedup=dedup
     )
 
 
@@ -104,12 +112,12 @@ def explode_bands(
 
 
 def minhash_lsh_candidates(
-    signatures: DataFrame, cfg: DedupConfig, id_col: str = "url"
+    signatures: DataFrame, cfg: DedupConfig, id_col: str = "url", dedup: bool = True
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: collide in >= 1 of ``cfg.bands`` bands."""
     bands = explode_bands(signatures, cfg, id_col)
     return bucket_candidates(
-        bands, "id", ("band", "bh"), max_group=cfg.max_band_group
+        bands, "id", ("band", "bh"), max_group=cfg.max_band_group, dedup=dedup
     )
 
 
@@ -131,20 +139,24 @@ def simhash_piece_keys(cfg: DedupConfig, simhash_col: str = "simhash"):
 
 
 def simhash_candidates(
-    signatures: DataFrame, cfg: DedupConfig, id_col: str = "url"
+    signatures: DataFrame, cfg: DedupConfig, id_col: str = "url", dedup: bool = True
 ) -> DataFrame:
     """SimHash candidates: agree on >= 1 of k+1 pieces, then exact Hamming filter
     (bit_count of xor, JVM-side) <= k."""
+    from pyspark.sql import Window
+
     pieces = signatures.select(
         F.col(id_col).alias("id"),
         F.col("simhash"),
         F.explode(F.array(*simhash_piece_keys(cfg))).alias("pk"),
     ).select("id", "simhash", F.col("pk.piece").alias("piece"), F.col("pk.pv").alias("pv"))
 
-    stats = pieces.groupBy("piece", "pv").agg(
-        F.count("*").alias("_n"), F.min("id").alias("_min_id")
-    ).where(F.col("_n") >= 2)
-    annotated = pieces.join(stats, ["piece", "pv"])
+    w = Window.partitionBy("piece", "pv")
+    annotated = (
+        pieces.withColumn("_n", F.count("*").over(w))
+        .withColumn("_min_id", F.min("id").over(w))
+        .where(F.col("_n") >= 2)
+    )
 
     small = annotated.where(F.col("_n") <= cfg.max_band_group)
     left = small.select("piece", "pv", F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
@@ -168,7 +180,7 @@ def simhash_candidates(
         .select(F.col("_min_id").alias("id_a"), F.col("id").alias("id_b"))
     )
 
-    return canonical_pairs(small_pairs.unionByName(big_pairs))
+    return canonical_pairs(small_pairs.unionByName(big_pairs), dedup=dedup)
 
 
 def all_pairs(docs: DataFrame, id_col: str = "url") -> DataFrame:

@@ -28,7 +28,7 @@ from cqaduplicatefind_spark.config import DedupConfig
 
 def _doc_side(signatures: DataFrame, id_col: str, suffix: str) -> DataFrame:
     cols = [F.col(id_col).alias(f"id_{suffix}")]
-    for c in ("minhash", "simhash", "shingles"):
+    for c in ("minhash", "simhash", "n_shingles", "shingles"):
         if c in signatures.columns:
             cols.append(F.col(c).alias(f"{c}_{suffix}"))
     return signatures.select(*cols)
@@ -61,11 +61,21 @@ def score_pairs(
     b = _doc_side(signatures, id_col, "b")
     scored = pairs.join(a, "id_a").join(b, "id_b")
 
+    # empty-shingle docs share simhash=0; force max Hamming so the SimHash route
+    # never links them
+    valid_sim = (
+        (F.col("n_shingles_a") > 0) & (F.col("n_shingles_b") > 0)
+        if "n_shingles_a" in scored.columns
+        else F.lit(True)
+    )
     scored = scored.withColumn(
         "est_jaccard", est_jaccard_col(F.col("minhash_a"), F.col("minhash_b"))
     ).withColumn(
         "hamming",
-        F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))),
+        F.when(
+            valid_sim,
+            F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))),
+        ).otherwise(F.lit(cfg.simhash_bits)),
     )
 
     # cheap pre-filter: keep pairs plausibly above threshold by estimate OR close in

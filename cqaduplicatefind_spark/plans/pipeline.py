@@ -57,6 +57,12 @@ def normalize_stage(pages: DataFrame, cfg: DedupConfig, use_html: bool = False) 
     column is re-extracted from html (byte-identical invariant); default trusts the
     provided text column (it must equal strip_tags(html) — verified by tests)."""
     df = pages
+    # pandas-UDF stages parallelize over partitions; a small input (one parquet
+    # file -> one split) would otherwise run the whole normalize+signature chain
+    # on a single core. Hash-partition on url (deterministic under retries, unlike
+    # round-robin). At cluster scale input splits >> target and this is a no-op.
+    if df.rdd.getNumPartitions() < cfg.signature_partitions:
+        df = df.repartition(cfg.signature_partitions, "url")
     if use_html:
         df = with_extracted_text(df, "html", "text")
     return with_normalized_text(df, "text", "norm_text").select(
@@ -71,8 +77,14 @@ def signature_stage(normalized: DataFrame, cfg: DedupConfig) -> DataFrame:
 
 
 def candidate_stage(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
-    mh = minhash_lsh_candidates(signatures.select("url", "minhash"), cfg)
-    sh = simhash_candidates(signatures.select("url", "simhash"), cfg)
+    # both sources skip their internal dedup; one dropDuplicates shuffle at the end
+    mh = minhash_lsh_candidates(signatures.select("url", "minhash"), cfg, dedup=False)
+    # empty-shingle docs all carry simhash=0; they must not bucket together
+    sh = simhash_candidates(
+        signatures.where(F.col("n_shingles") > 0).select("url", "simhash"),
+        cfg,
+        dedup=False,
+    )
     return mh.unionByName(sh).dropDuplicates(["id_a", "id_b"])
 
 
@@ -86,14 +98,20 @@ def run_pipeline(
     """Run (or resume) the full dedup pipeline. With a warehouse, every stage is
     checkpointed + resumable; without, it's one lazy plan."""
 
-    def stage(name: str, compute):
+    def stage(name: str, compute, reused: bool = False):
         if warehouse is None:
-            return compute()
+            df = compute()
+            if reused:
+                # consumed by several downstream branches (both LSH paths + both
+                # verify sides): persist or the signature UDF chain recomputes 4x
+                df = df.persist()
+            return df
         return warehouse.get_or_compute(spark, name, compute)
 
     signatures = stage(
         "signatures",
         lambda: signature_stage(normalize_stage(pages, cfg, use_html), cfg),
+        reused=True,
     )
     candidates = stage("candidate_pairs", lambda: candidate_stage(signatures, cfg))
     scored = stage("scored_pairs", lambda: score_pairs(candidates, signatures, cfg))

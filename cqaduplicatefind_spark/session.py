@@ -8,6 +8,8 @@ bench use this helper so every run is reproducible from code.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import SparkSession
 
 
@@ -37,6 +39,14 @@ def build_session(
         # deterministic shuffle behavior for the local[8]==local[32] check
         "spark.sql.execution.sortBeforeRepartition": "true",
     }
+    # shuffle files on tmpfs when available: this sandbox's /tmp is a slow overlay
+    # (2x shuffle-stage latency). On a real cluster the platform sets local dirs
+    # (NVMe) and this is skipped via SPARK_GRAFT_LOCAL_DIR='' or an existing env.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
+    if local_dir:
+        confs["spark.local.dir"] = local_dir
     if extra:
         confs.update(extra)
     for k, v in confs.items():
