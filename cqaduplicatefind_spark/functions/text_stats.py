@@ -1,0 +1,104 @@
+"""Text-analysis operators for a training-data pipeline: language ID, quality
+scoring, token counting, document fingerprinting.
+
+Everything here is pure Catalyst expressions (whole-stage codegen, zero Python) —
+these run per-document over 10^12 rows, so they must stay JVM-side. Each has a
+SQL-oracle-checkable form surfaced in ``__spark_entry__``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Compact per-language marker sets (top high-frequency function words that are
+# strongly language-specific). An n-gram model would use mapInPandas; for a
+# pipeline gate this word-marker heuristic is the standard cheap first pass.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "for", "with", "was"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "sich", "auf"),
+    "fr": ("le", "la", "les", "des", "est", "une", "dans", "que", "pour", "qui"),
+    "es": ("el", "los", "las", "una", "es", "que", "por", "con", "para", "del"),
+}
+
+
+def tokens(col) -> Column:
+    return F.split(col, " ")
+
+
+def token_count(col) -> Column:
+    """Whitespace token count; empty string -> 0."""
+    return F.when(F.length(col) == 0, F.lit(0)).otherwise(F.size(F.split(col, " ")))
+
+
+def word_token_count(col) -> Column:
+    """BPE-ish subword proxy: count word chunks + digit runs + punctuation marks
+    separately (regexp-based; a real BPE table would be a broadcast join)."""
+    return F.regexp_count(col, F.lit(r"[\p{L}]+|[0-9]+|[^\p{L}0-9\s]"))
+
+
+def lang_id_expr(text_col) -> Column:
+    """Heuristic language ID: language with the highest marker-word hit count,
+    'und' (undetermined) when nothing matches."""
+    toks = F.transform(F.split(F.lower(text_col), r"\s+"), lambda t: t)
+    scores = [
+        (
+            lang,
+            F.size(
+                F.array_intersect(
+                    F.array_distinct(toks), F.array(*[F.lit(w) for w in markers])
+                )
+            ),
+        )
+        for lang, markers in LANG_MARKERS.items()
+    ]
+    best_score = F.greatest(*[s for _, s in scores])
+    pick = F.lit("und")
+    # deterministic priority order on ties: en > de > fr > es (reversed fold)
+    for lang, s in reversed(scores):
+        pick = F.when((s == best_score) & (best_score > 0), F.lit(lang)).otherwise(pick)
+    return pick
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Standard web-text quality gates (Gopher/C4-style rule features):
+    token count, mean word length, alpha ratio, punctuation density, uppercase
+    ratio, repetition proxy (distinct/total tokens)."""
+    t = F.col(text_col)
+    toks = F.split(t, r"\s+")
+    n_tok = F.size(toks)
+    n_chars = F.length(t)
+    return df.withColumns(
+        {
+            "q_n_tokens": n_tok,
+            "q_mean_word_len": F.when(
+                n_tok > 0, (n_chars - (n_tok - 1)).cast("double") / n_tok
+            ).otherwise(F.lit(0.0)),
+            "q_alpha_ratio": F.when(
+                n_chars > 0,
+                F.length(F.regexp_replace(t, r"[^\p{L}]", "")).cast("double") / n_chars,
+            ).otherwise(F.lit(0.0)),
+            "q_punct_ratio": F.when(
+                n_chars > 0,
+                F.length(F.regexp_replace(t, r"[^.,;:!?]", "")).cast("double") / n_chars,
+            ).otherwise(F.lit(0.0)),
+            "q_upper_ratio": F.when(
+                n_chars > 0,
+                F.length(F.regexp_replace(t, r"[^A-Z]", "")).cast("double") / n_chars,
+            ).otherwise(F.lit(0.0)),
+            "q_distinct_token_ratio": F.when(
+                n_tok > 0, F.size(F.array_distinct(toks)).cast("double") / n_tok
+            ).otherwise(F.lit(0.0)),
+        }
+    )
+
+
+def fingerprint_expr(text_col, prefix_tokens: int = 8) -> Column:
+    """Cheap stable document fingerprint: md5 of the first-k-token prefix.
+    For full-content identity use ``F.md5(text)`` (exact dedup); this prefix form
+    groups near-identical heads (title boilerplate detection)."""
+    return F.md5(F.concat_ws(" ", F.slice(F.split(text_col, " "), 1, prefix_tokens)))
+
+
+def content_hash_expr(text_col) -> Column:
+    """Exact-dup content hash (hash-groupBy dedup key)."""
+    return F.md5(text_col)

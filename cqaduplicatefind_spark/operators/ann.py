@@ -1,0 +1,191 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+The deterministic replacement for the reference's Doc2Vec ``most_similar`` retrieval
+(``/root/reference/src/DuplicateRetriever.py:47``) generalized to any
+``array<float>`` embedding column:
+
+- ``cosine_topk``: exact brute-force baseline — query-set x corpus join, cosine in
+  codegen (``zip_with`` + ``aggregate``), window top-k. Right answer, O(|Q| * n):
+  only for small query sets or oracle checks.
+- ``rp_lsh_topk``: the scale path — sign-random-projection LSH (Charikar
+  hyperplane hashing): b deterministic pseudo-random hyperplanes per table ->
+  2^b buckets; candidates from multi-probe over ``n_tables`` independent tables;
+  exact cosine re-rank on candidates only. Per-row cost O(b * d * n_tables),
+  join cost ~bucket collisions — this is what survives 10^12 rows.
+- ``cosine_dedup_pairs``: all-pairs cosine >= threshold via the same bucketing
+  (embedding near-dup dedup for training pipelines).
+
+Hyperplanes are derived from splitmix64 streams (seeded, wall-clock-free) inside a
+pandas UDF that processes whole Arrow batches with one numpy matmul.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+from cqaduplicatefind_spark.functions.hashing import splitmix64
+
+
+def cosine_col(a, b):
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    nb = F.sqrt(
+        F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+    return dot / (na * nb)
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k: (qid, cand, cosine, rank). Broadcast the query side — the
+    corpus never shuffles."""
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("cand"), F.col(vec_col).alias("cv"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("cand") != F.col("qid"))
+        .select("qid", "cand", cosine_col(F.col("qv"), F.col("cv")).alias("cosine"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cand"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, bits: int, table: int, seed: int) -> np.ndarray:
+    """(bits, dim) deterministic pseudo-gaussian hyperplanes from splitmix64
+    streams (sum of 4 uniforms ~ gaussian enough for sign hashing)."""
+    n = bits * dim
+    out = np.zeros(n, dtype=np.float64)
+    base = np.arange(n, dtype=np.uint64) + np.uint64(seed * 1_000_003 + table * 7919)
+    for r in range(4):
+        u = splitmix64(base ^ np.uint64(0x9E37 + r))
+        out += u.astype(np.float64) / float(1 << 64) - 0.5
+    return out.reshape(bits, dim)
+
+
+def with_rp_buckets(
+    df: DataFrame,
+    bits: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """-> (id, table, bucket): sign-random-projection bucket per hash table.
+    One numpy matmul per Arrow batch per table; output explodes to n_tables rows."""
+
+    def compute(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        planes: dict[int, np.ndarray] = {}
+        weights = (np.uint64(1) << np.arange(bits, dtype=np.uint64)).astype(np.int64)
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            ids, tables, buckets = [], [], []
+            for t in range(n_tables):
+                if t not in planes:
+                    planes[t] = _hyperplanes(mat.shape[1], bits, t, seed)
+                signs = (mat @ planes[t].T) > 0  # (rows, bits)
+                bucket = (signs.astype(np.int64) * weights).sum(axis=1)
+                ids.append(pdf[id_col].to_numpy())
+                tables.append(np.full(len(pdf), t, dtype=np.int32))
+                buckets.append(bucket)
+            yield pd.DataFrame(
+                {
+                    "id": np.concatenate(ids),
+                    "table": np.concatenate(tables),
+                    "bucket": np.concatenate(buckets),
+                }
+            )
+
+    id_type = dict(df.dtypes)[id_col]
+    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        compute, f"id {id_type}, table int, bucket long"
+    )
+
+
+def rp_lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    bits: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: bucket-join candidates (any shared (table, bucket)),
+    exact cosine re-rank. Recall grows with n_tables / shrinks with bits."""
+    qb = with_rp_buckets(queries, bits, n_tables, seed, id_col, vec_col).select(
+        F.col("id").alias("qid"), "table", "bucket"
+    )
+    cb = with_rp_buckets(corpus, bits, n_tables, seed, id_col, vec_col).select(
+        F.col("id").alias("cand"), "table", "bucket"
+    )
+    cand = (
+        qb.join(cb, ["table", "bucket"])
+        .where(F.col("qid") != F.col("cand"))
+        .select("qid", "cand")
+        .dropDuplicates(["qid", "cand"])
+    )
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("cand"), F.col(vec_col).alias("cv"))
+    scored = (
+        cand.join(q, "qid")
+        .join(c, "cand")
+        .select("qid", "cand", cosine_col(F.col("qv"), F.col("cv")).alias("cosine"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cand"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def cosine_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    bits: int = 10,
+    n_tables: int = 6,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs: (id_a, id_b, cosine >= threshold).
+    Bucket-join candidates + exact verify; near-dups (cosine ~1) collide in some
+    table with probability ~1 - (1 - (1-theta/pi)^bits)^... -> high for small theta."""
+    b = with_rp_buckets(df, bits, n_tables, seed, id_col, vec_col)
+    left = b.select(F.col("id").alias("id_a"), "table", "bucket")
+    right = b.select(F.col("id").alias("id_b"), "table", "bucket")
+    cand = (
+        left.join(right, ["table", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cosine_col(F.col("va"), F.col("vb")).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

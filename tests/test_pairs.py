@@ -1,0 +1,72 @@
+"""Labeled-pair generation: ratio control, anti-join purity, determinism."""
+
+from pyspark.sql import functions as F
+
+from cqaduplicatefind_spark.operators.pairs import (
+    gold_edges_from_dups,
+    labeled_pairs,
+    train_test_split,
+)
+
+
+def _docs(spark):
+    rows = [
+        # id, text, dups
+        ("d01", "alpha beta gamma", ["d02"]),
+        ("d02", "alpha beta gamma delta", ["d01"]),
+        ("d03", "epsilon zeta eta", ["d04", "d05"]),
+        ("d04", "epsilon zeta eta theta", ["d03"]),
+        ("d05", "epsilon zeta iota", ["d03"]),
+    ] + [(f"n{i:02d}", f"unique text number {i}", []) for i in range(20)]
+    return spark.createDataFrame(
+        rows, "url string, norm_text string, dups array<string>"
+    )
+
+
+def test_gold_edges_exploded_canonical(spark):
+    docs = _docs(spark)
+    edges = gold_edges_from_dups(docs)
+    got = {(r.src, r.dst) for r in edges.collect()}
+    assert got == {("d01", "d02"), ("d03", "d04"), ("d03", "d05")}
+
+
+def test_ratio_and_purity(spark):
+    docs = _docs(spark)
+    gold = gold_edges_from_dups(docs)
+    pairs = labeled_pairs(docs, gold, negatives_per_positive=2)
+    rows = pairs.collect()
+    pos = [r for r in rows if r.dup == 1]
+    neg = [r for r in rows if r.dup == 0]
+    # one positive per doc with >= 1 gold dup (5 such docs)
+    assert len(pos) == 5
+    # ~2 negatives per positive (mirror-cursor self-pairs may trim a couple)
+    assert len(neg) >= len(pos)
+    # purity: no negative pair is secretly gold
+    gold_set = {(r.src, r.dst) for r in gold.collect()}
+    for r in neg:
+        a, b = sorted((r.q1_id, r.q2_id))
+        assert (a, b) not in gold_set
+    # texts attached correctly
+    by_id = {r.url: r.norm_text for r in docs.collect()}
+    for r in rows:
+        assert r.q1 == by_id[r.q1_id]
+        assert r.q2 == by_id[r.q2_id]
+
+
+def test_deterministic(spark):
+    docs = _docs(spark)
+    gold = gold_edges_from_dups(docs)
+    a = sorted(map(tuple, labeled_pairs(docs, gold).collect()))
+    b = sorted(map(tuple, labeled_pairs(docs, gold).collect()))
+    assert a == b
+
+
+def test_train_test_split_partition(spark):
+    docs = _docs(spark)
+    gold = gold_edges_from_dups(docs)
+    pairs = labeled_pairs(docs, gold).cache()
+    train, test = train_test_split(pairs, 0.75, seed=7)
+    n, tr, te = pairs.count(), train.count(), test.count()
+    assert tr + te == n
+    # split is disjoint
+    assert train.intersect(test).count() == 0

@@ -1,0 +1,117 @@
+"""Text-analysis expressions and ANN operators."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cqaduplicatefind_spark.functions.text_stats import (
+    content_hash_expr,
+    fingerprint_expr,
+    lang_id_expr,
+    quality_features,
+    token_count,
+    word_token_count,
+)
+from cqaduplicatefind_spark.operators.ann import (
+    cosine_dedup_pairs,
+    cosine_topk,
+    rp_lsh_topk,
+)
+
+
+def test_lang_id(spark):
+    rows = [
+        ("e", "the cat is in the house and it is warm"),
+        ("d", "der hund ist nicht in das haus und die katze"),
+        ("f", "le chat est dans la maison pour les amis"),
+        ("s", "el gato es una maravilla que vive con los perros"),
+        ("u", "zzz qqq xxx"),
+    ]
+    df = spark.createDataFrame(rows, "id string, text string")
+    got = {r.id: r.lang for r in df.select("id", lang_id_expr(F.col("text")).alias("lang")).collect()}
+    assert got == {"e": "en", "d": "de", "f": "fr", "s": "es", "u": "und"}
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [("a", "one two three"), ("b", ""), ("c", "hello, world! v2.0")],
+        "id string, text string",
+    )
+    got = {
+        r.id: (r.n, r.w)
+        for r in df.select(
+            "id",
+            token_count(F.col("text")).alias("n"),
+            word_token_count(F.col("text")).alias("w"),
+        ).collect()
+    }
+    assert got["a"] == (3, 3)
+    assert got["b"] == (0, 0)
+    # "hello" "," "world" "!" "v" "2" "." "0" -> 8 BPE-ish pieces
+    assert got["c"][0] == 3
+    assert got["c"][1] == 8
+
+
+def test_quality_features(spark):
+    df = spark.createDataFrame(
+        [("a", "Hello world. This is FINE text."), ("b", "aa aa aa aa")],
+        "id string, text string",
+    )
+    rows = {r.id: r for r in quality_features(df).collect()}
+    a = rows["a"]
+    assert a.q_n_tokens == 6
+    assert 0 < a.q_alpha_ratio < 1
+    assert a.q_punct_ratio > 0
+    assert rows["b"].q_distinct_token_ratio == pytest.approx(0.25)
+
+
+def test_fingerprint_and_content_hash(spark):
+    df = spark.createDataFrame(
+        [("a", "x y z common prefix here one two END"), ("b", "x y z common prefix here one two DIFFERENT")],
+        "id string, text string",
+    )
+    rows = df.select(
+        "id",
+        fingerprint_expr(F.col("text")).alias("fp"),
+        content_hash_expr(F.col("text")).alias("ch"),
+    ).collect()
+    by = {r.id: r for r in rows}
+    assert by["a"].fp == by["b"].fp      # same 8-token prefix
+    assert by["a"].ch != by["b"].ch      # different full content
+
+
+def _vec_df(spark, n=200, d=16, seed=3):
+    rng = np.random.RandomState(seed)
+    base = rng.randn(n, d).astype(np.float32)
+    # make ids 0..9 have near-duplicates at ids 100..109
+    for i in range(10):
+        base[100 + i] = base[i] + rng.randn(d).astype(np.float32) * 0.01
+    rows = [(int(i), [float(x) for x in base[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), base
+
+
+def test_cosine_topk_exact(spark):
+    df, base = _vec_df(spark)
+    q = df.where(F.col("vec_id") < 3)
+    got = cosine_topk(q, df, k=1).collect()
+    by = {r.qid: r.cand for r in got}
+    # nearest neighbor of i is its planted near-dup 100+i
+    assert by == {0: 100, 1: 101, 2: 102}
+
+
+def test_rp_lsh_topk_finds_planted_neighbors(spark):
+    df, _ = _vec_df(spark)
+    q = df.where(F.col("vec_id") < 10)
+    got = rp_lsh_topk(q, df, k=3, bits=8, n_tables=6)
+    top1 = {r.qid: r.cand for r in got.where(F.col("rank") == 1).collect()}
+    hits = sum(1 for i, c in top1.items() if c == 100 + i)
+    assert hits >= 9  # near-identical vectors collide with overwhelming probability
+
+
+def test_cosine_dedup_pairs(spark):
+    df, _ = _vec_df(spark)
+    pairs = {(r.id_a, r.id_b) for r in cosine_dedup_pairs(df, threshold=0.95).collect()}
+    expected = {(i, 100 + i) for i in range(10)}
+    assert expected <= pairs
+    # no random pair sneaks past the threshold
+    assert all(b - a == 100 for a, b in pairs)

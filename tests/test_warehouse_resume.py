@@ -1,0 +1,92 @@
+"""Checkpointed stage tables: atomic commit, lineage, idempotent resume.
+
+north_rule: "checkpoint per-partition lineage + signature/pair/cluster metrics ...
+so any stage resumes idempotently after failure"."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cqaduplicatefind_spark.config import DedupConfig
+from cqaduplicatefind_spark.operators.metrics import cluster_exact_match
+from cqaduplicatefind_spark.plans.pipeline import run_pipeline
+from cqaduplicatefind_spark.sources.warehouse import Warehouse
+
+
+@pytest.fixture
+def wh(tmp_path, cfg):
+    return Warehouse(root=str(tmp_path / "warehouse"), config_fingerprint=cfg.fingerprint())
+
+
+def test_atomic_write_and_manifest(spark, wh):
+    df = spark.range(100).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    manifest = wh.write(df, "t1")
+    assert manifest["row_count"] == 100
+    assert manifest["config_fingerprint"] == wh.config_fingerprint
+    assert manifest["partitions"]  # per-partition lineage recorded
+    back = wh.read(spark, "t1")
+    assert back.count() == 100
+    assert wh.exists("t1")
+
+
+def test_resume_skips_committed_stage(spark, wh):
+    calls = []
+
+    def compute():
+        calls.append(1)
+        return spark.range(10).select("id")
+
+    wh.get_or_compute(spark, "stage_a", compute)
+    wh.get_or_compute(spark, "stage_a", compute)
+    assert len(calls) == 1  # second run resumed from the checkpoint
+
+
+def test_config_change_invalidates(spark, tmp_path):
+    w1 = Warehouse(str(tmp_path / "w"), "fp_one")
+    w2 = Warehouse(str(tmp_path / "w"), "fp_two")
+    w1.write(spark.range(5).select("id"), "t")
+    assert w1.exists("t")
+    assert not w2.exists("t")  # different dup-semantics config: stale table ignored
+
+
+def test_pipeline_resume_identical_clusters(spark, tiny_fixture, cfg, tmp_path):
+    """Kill-after-stage-k simulation: run to completion, delete downstream stages,
+    re-run — resumed result must equal the uninterrupted one (and gold)."""
+    pages, _, gold_clusters = tiny_fixture
+    wh = Warehouse(str(tmp_path / "wh"), cfg.fingerprint())
+
+    full = run_pipeline(spark, pages, cfg, warehouse=wh)
+    first = sorted((r.url, r.cluster_id) for r in full.clusters.collect())
+    assert full.stage_metrics["signatures"] == pages.count()
+    assert full.stage_metrics["clusters"] == pages.count()
+
+    # simulate failure after the candidate stage: drop everything downstream
+    for t in ("scored_pairs", "dup_edges", "clusters"):
+        wh.drop(t)
+    # signatures + candidate_pairs survive; resume recomputes only downstream
+    resumed = run_pipeline(spark, pages, cfg, warehouse=wh)
+    second = sorted((r.url, r.cluster_id) for r in resumed.clusters.collect())
+    assert first == second
+    assert cluster_exact_match(resumed.clusters, gold_clusters)
+
+
+def test_resume_does_not_recompute_upstream(spark, tiny_fixture, cfg, tmp_path):
+    pages, _, _ = tiny_fixture
+    wh = Warehouse(str(tmp_path / "wh2"), cfg.fingerprint())
+    run_pipeline(spark, pages, cfg, warehouse=wh)
+    sig_dir = os.path.join(str(tmp_path / "wh2"), "signatures")
+    mtime_before = os.path.getmtime(os.path.join(sig_dir, "_manifest.json"))
+    wh.drop("clusters")
+    run_pipeline(spark, pages, cfg, warehouse=wh)
+    mtime_after = os.path.getmtime(os.path.join(sig_dir, "_manifest.json"))
+    assert mtime_before == mtime_after  # signatures untouched by the resume
+
+
+def test_manifest_json_readable(spark, wh):
+    wh.write(spark.range(7).select("id"), "m")
+    d = wh.manifest("m")
+    assert json.dumps(d)  # serializable
+    assert d["table"] == "m"
+    assert d["row_count"] == 7
