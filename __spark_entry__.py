@@ -501,6 +501,157 @@ def q_quality(spark, sf):
     )
 
 
+def _lang_case_sql() -> str:
+    """DuckDB CASE expression mirroring lang_id_expr's tie-break (en>de>fr>es)."""
+    from cqaduplicatefind_spark.functions.text_stats import LANG_MARKERS
+
+    score_cols = []
+    for lang, markers in LANG_MARKERS.items():
+        lst = ", ".join(f"'{w}'" for w in markers)
+        score_cols.append(f"len(list_intersect(toks, [{lst}])) AS {lang}")
+    langs = list(LANG_MARKERS)
+    best = f"greatest({', '.join(langs)})"
+    whens = "\n             ".join(
+        f"WHEN {lang} = {best} THEN '{lang}'" for lang in langs
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, list_distinct(string_split_regex(lower(text), '\\s+')) AS toks
+      FROM documents
+    ),
+    s AS (SELECT doc_id, {", ".join(score_cols)} FROM t)
+    SELECT CASE WHEN {best} = 0 THEN 'und'
+             {whens}
+           END AS detected_lang,
+           count(*) AS n
+    FROM s GROUP BY 1
+    """
+
+
+@_register("lang_id_histogram", _lang_case_sql())
+def q_lang_id(spark, sf):
+    from cqaduplicatefind_spark.functions.text_stats import lang_id_expr
+
+    d = _read(spark, sf, "documents")
+    return (
+        d.select(lang_id_expr(F.col("text")).alias("detected_lang"))
+        .groupBy("detected_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_NGRAM_JACCARD_CTE = """
+    toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    idx AS (SELECT doc_id, t, unnest(range(len(t) - 2)) AS i FROM toks),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(t, i + 1, i + 3), ' ') AS g
+      FROM idx
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM grams a JOIN grams b USING (g)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    jac AS (
+      SELECT id_a, id_b, round(c * 1.0 / (sa.n + sb.n - c), 6) AS score
+      FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+      WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+    )
+"""
+
+
+@_register(
+    "retrieval_metrics_p_at_k",
+    f"""
+    WITH {_NGRAM_JACCARD_CTE},
+    ranked AS (
+      SELECT id_a AS query_id, id_b AS candidate_id, score FROM jac
+      UNION ALL
+      SELECT id_b, id_a, score FROM jac
+    ),
+    gold AS (
+      SELECT id_a AS src, id_b AS dst FROM jac WHERE score >= 0.95
+    ),
+    sym AS (
+      SELECT src AS query_id, dst AS gold_id FROM gold
+      UNION
+      SELECT dst, src FROM gold
+    ),
+    n_dups AS (SELECT query_id, count(*) AS n_gold FROM sym GROUP BY 1),
+    topk AS (
+      SELECT * FROM (
+        SELECT query_id, candidate_id, score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, candidate_id) AS rank
+        FROM ranked
+      ) WHERE rank <= 10
+    ),
+    hits AS (
+      SELECT t.query_id, t.rank
+      FROM topk t JOIN sym s
+        ON t.query_id = s.query_id AND t.candidate_id = s.gold_id
+    ),
+    per_hit AS (
+      SELECT query_id, rank,
+             row_number() OVER (PARTITION BY query_id ORDER BY rank) AS hits_so_far
+      FROM hits
+    ),
+    per_query AS (
+      SELECT query_id, count(*) AS found,
+             sum(hits_so_far * 1.0 / rank) AS ap_sum
+      FROM per_hit GROUP BY 1
+    ),
+    stats AS (
+      SELECT d.query_id, coalesce(found, 0) AS found,
+             coalesce(ap_sum, 0.0) / n_gold AS ap
+      FROM n_dups d LEFT JOIN per_query p USING (query_id)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(found) AS BIGINT) AS found_at_k,
+           round(avg(found / 10.0), 6) AS p_at_k,
+           round(avg(ap), 6) AS map
+    FROM stats
+    """,
+)
+def q_retrieval_metrics(spark, sf):
+    """The reference's P@10/MAP evaluation job (SURVEY A4) with a deterministic
+    setup: candidates = 3-gram Jaccard >= 0.5 pairs ranked by score, gold = pairs
+    at Jaccard >= 0.95 (non-empty at every test sf). Reproduces
+    src/BM25DuplicateRetriever.py:85-103 semantics."""
+    from cqaduplicatefind_spark.operators.metrics import ranked_retrieval_metrics
+
+    jac = q_ngram_jaccard(spark, sf).withColumnRenamed("jaccard", "score")
+    ranked = jac.select(
+        F.col("id_a").alias("query_id"),
+        F.col("id_b").alias("candidate_id"),
+        "score",
+    ).unionByName(
+        jac.select(
+            F.col("id_b").alias("query_id"),
+            F.col("id_a").alias("candidate_id"),
+            "score",
+        )
+    )
+    gold = jac.where(F.col("score") >= 0.95).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    m = ranked_retrieval_metrics(ranked, gold, k=10)
+    return m.select(
+        F.col("n_queries").cast("long").alias("n_queries"),
+        F.col("found_at_k").cast("long").alias("found_at_k"),
+        F.round("p_at_k", 6).alias("p_at_k"),
+        F.round("map", 6).alias("map"),
+    )
+
+
 # ---------- embeddings: similarity search ----------
 
 @_register(

@@ -56,7 +56,13 @@ def make_pages(spark, sf_dir: str, replicate: int = 20):
             ),
         ).otherwise(F.col("text")),
     )
-    return perturbed.select("url", "text")
+    # hash-partition the generated corpus up front: the crossJoin above is a
+    # broadcast NLJ whose output inherits the (single-file) parquet scan's
+    # partitioning, and a 1-partition cached input would serialize the shuffle
+    # write side of every downstream stage. Real inputs arrive as many splits;
+    # this makes the synthetic corpus look the same.
+    par = spark.sparkContext.defaultParallelism * 2
+    return perturbed.select("url", "text").repartition(par, "url")
 
 
 def bench_pipeline(spark, sf_dir: str) -> dict[str, float]:

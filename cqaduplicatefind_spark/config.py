@@ -44,6 +44,12 @@ class DedupConfig:
     # --- verification ---
     jaccard_threshold: float = 0.8   # exact-verify cutoff for an edge
     min_overlap_span: int = 50       # tokens: exact-span pass (substring containment)
+    # what the verify joins ship per doc (the pipeline's dominant shuffle volume):
+    # "exact" (shingle sets only; every candidate exactly verified — right for the
+    # recall>=0.99 gate and short docs), "estimate" (fixed-width minhash only;
+    # right for multi-KB shingle sets where exact verification is a later targeted
+    # pass), or "both" (minhash prefilter + exact set ops on survivors)
+    verify_evidence: str = "exact"
 
     # --- skew handling ---
     # band groups larger than this emit O(m) star edges instead of O(m^2) pairs;

@@ -39,9 +39,31 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
     """Vectorized splitmix64 finalizer over a uint64 ndarray."""
     with np.errstate(over="ignore"):
         z = (x + _SM_GAMMA) & _MASK64
-        z = ((z ^ (z >> _U64(30))) * _SM_M1) & _MASK64
-        z = ((z ^ (z >> _U64(27))) * _SM_M2) & _MASK64
-        return z ^ (z >> _U64(31))
+        if np.ndim(z) == 0:  # numpy scalar input (e.g. single hash values)
+            z = (z ^ (z >> _U64(30))) * _SM_M1 & _MASK64
+            z = (z ^ (z >> _U64(27))) * _SM_M2 & _MASK64
+            return z ^ (z >> _U64(31))
+        return splitmix64_inplace(z)
+
+
+def splitmix64_inplace(z: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer applied in place (input must already include the +gamma
+    step when emulating ``splitmix64``; callers that build ``z = x ^ seed`` style
+    inputs apply gamma themselves). Single scratch buffer, no chained temporaries —
+    the signature kernels are memory-bandwidth-bound, and the naive expression
+    allocates ~10 array temporaries per call, which saturates DRAM when many
+    executor workers run concurrently."""
+    t = np.empty_like(z)
+    with np.errstate(over="ignore"):
+        np.right_shift(z, _U64(30), out=t)
+        np.bitwise_xor(z, t, out=z)
+        np.multiply(z, _SM_M1, out=z)
+        np.right_shift(z, _U64(27), out=t)
+        np.bitwise_xor(z, t, out=z)
+        np.multiply(z, _SM_M2, out=z)
+        np.right_shift(z, _U64(31), out=t)
+        np.bitwise_xor(z, t, out=z)
+    return z
 
 
 def hash_str_u64(s: str, seed: int = 0) -> int:

@@ -34,10 +34,12 @@ from pyspark.sql.types import (
 
 from cqaduplicatefind_spark.config import DedupConfig
 from cqaduplicatefind_spark.functions.hashing import (
+    _SM_GAMMA,
     TokenHasher,
     perm_seeds,
     shingle_hashes,
     splitmix64,
+    splitmix64_inplace,
 )
 
 _U64 = np.uint64
@@ -74,9 +76,17 @@ def minhash_matrix(
         return sig
     starts = offsets[:-1]
     nonempty = offsets[1:] > starts
+    scratch = np.empty((len(seeds[:chunk]), len(all_shingles)), dtype=np.uint64)
     for c0 in range(0, n_perms, chunk):
         seed_chunk = seeds[c0 : c0 + chunk]
-        mixed = splitmix64(all_shingles[None, :] ^ seed_chunk[:, None])  # (c, S)
+        # one buffer + in-place finalizer: the naive splitmix64 expression allocates
+        # ~10 (chunk, S) temporaries, and with many concurrent workers the kernel
+        # becomes DRAM-bound instead of compute-bound (kills core-count scaling)
+        mixed = scratch[: len(seed_chunk)]
+        np.bitwise_xor(seed_chunk[:, None], all_shingles[None, :], out=mixed)
+        with np.errstate(over="ignore"):
+            np.add(mixed, _SM_GAMMA, out=mixed)
+        splitmix64_inplace(mixed)
         # reduceat needs strictly valid starts; rows for empty docs are fixed after
         mins = np.minimum.reduceat(mixed, np.minimum(starts, len(all_shingles) - 1), axis=1)
         mins[:, ~nonempty] = _MAX_U64
@@ -93,21 +103,32 @@ def simhash_vector(
     if len(all_tokens) == 0:
         return out
     starts = offsets[:-1]
-    nonempty = offsets[1:] > starts
+    counts = offsets[1:] - starts
+    nonempty = counts > 0
+    # bit-sliced popcount: bit b of token t lands at [t, b] (little-endian byte
+    # order matches (tok >> b) & 1 on little-endian hosts). uint8 bit matrix +
+    # int64-accumulated reduceat keeps traffic at ~64B/token instead of the
+    # ~2.3KB/token the (T, bits) int32 sign matrix costs — the kernel must stay
+    # compute-bound for throughput to scale with executor cores.
+    bit_mat = np.unpackbits(
+        all_tokens.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+    )[:, :bits]
+    pop = np.add.reduceat(
+        bit_mat, np.minimum(starts, len(all_tokens) - 1), axis=0, dtype=np.int64
+    )
     shifts = np.arange(bits, dtype=np.uint64)
-    # (T, bits) in {-1, +1}
-    bit_signs = (((all_tokens[:, None] >> shifts[None, :]) & _U64(1)).astype(np.int32) * 2 - 1)
-    sums = np.add.reduceat(bit_signs, np.minimum(starts, len(all_tokens) - 1), axis=0)
-    sums[~nonempty, :] = 0
-    packed = (sums > 0).astype(np.uint64) << shifts[None, :]
+    # sign-sum = 2*pop - count; bit set iff sign-sum > 0
+    packed = (2 * pop > counts[:, None]).astype(np.uint64) << shifts[None, :]
     out = np.bitwise_or.reduce(packed, axis=1)
     out[~nonempty] = 0
     return out
 
 
-# per numpy-kernel invocation: bounds the (perm_chunk, S) and (T, 64) intermediates
-# to a few hundred MB regardless of Arrow batch size
-_TOKEN_BUDGET = 200_000
+# per numpy-kernel invocation: sized so the (perm_chunk, S) minhash buffer
+# (32 x S x 8B, ~2MB at S=8k) and its scratch stay cache-resident per worker —
+# a DRAM-resident working set makes concurrent workers contend for memory
+# bandwidth and flattens the core-count scaling curve
+_TOKEN_BUDGET = 8_192
 
 
 def compute_signatures_pdf(

@@ -69,13 +69,35 @@ def _edge_checksum(edges: DataFrame):
     return (agg["n"], agg["s"])
 
 
+def _persistent_rdd_ids(spark) -> set[int]:
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(i) for i in jmap.keySet().toArray()}
+
+
+def _unpersist_rdd_ids(spark, ids) -> None:
+    """Free block-manager storage for the given RDD ids (non-blocking). Used to
+    drop superseded localCheckpoint rounds — without this, every CC round's
+    checkpoint blocks stay pinned until a driver full GC, and a long session
+    (streaming incremental dedup, repeated pipeline runs) degrades as the heap
+    balloons into kernel page-fault storms."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for i in ids:
+        rdd = jmap.get(i)
+        if rdd is not None:
+            rdd.unpersist(False)
+
+
 def connected_components(
     edges: DataFrame, max_iterations: int = 50
 ) -> DataFrame:
     """edges(id_a, id_b) -> assignments(id, cluster_id) for every node that appears
     in an edge. cluster_id = min node id in the component. Callers attach singletons
-    with a left join + coalesce (see ``plans.pipeline``)."""
+    with a left join + coalesce (see ``plans.pipeline``).
+
+    The final round's checkpoint stays alive (the returned plan reads from it);
+    every earlier round is unpersisted as soon as it is superseded."""
     spark = edges.sparkSession
+    before = _persistent_rdd_ids(spark)
     cur = (
         edges.select(
             F.least("id_a", "id_b").alias("id_a"),
@@ -85,10 +107,14 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    live = _persistent_rdd_ids(spark) - before
     prev_sig = None
     for _ in range(max_iterations):
+        pre = _persistent_rdd_ids(spark)
         cur = _small_star(_large_star(cur)).localCheckpoint()
         sig = _edge_checksum(cur)
+        _unpersist_rdd_ids(spark, live)
+        live = _persistent_rdd_ids(spark) - pre
         if sig == prev_sig:
             break
         prev_sig = sig

@@ -26,9 +26,11 @@ from pyspark.sql import DataFrame, functions as F
 from cqaduplicatefind_spark.config import DedupConfig
 
 
-def _doc_side(signatures: DataFrame, id_col: str, suffix: str) -> DataFrame:
+def _doc_side(
+    signatures: DataFrame, id_col: str, suffix: str, carry: tuple[str, ...]
+) -> DataFrame:
     cols = [F.col(id_col).alias(f"id_{suffix}")]
-    for c in ("minhash", "simhash", "n_shingles", "shingles"):
+    for c in carry:
         if c in signatures.columns:
             cols.append(F.col(c).alias(f"{c}_{suffix}"))
     return signatures.select(*cols)
@@ -49,6 +51,7 @@ def score_pairs(
     cfg: DedupConfig,
     id_col: str = "url",
     prefilter_margin: float = 0.15,
+    evidence: str = "both",
 ) -> DataFrame:
     """(id_a, id_b) -> scored pairs.
 
@@ -56,9 +59,24 @@ def score_pairs(
     ``jaccard``/``containment`` are exact iff the signature table carries the
     ``shingles`` column; the MinHash estimate pre-filters pairs more than
     ``prefilter_margin`` below the threshold so exact set ops run on survivors only.
+
+    ``evidence`` picks what the two verify joins ship per doc — the dominant
+    shuffle volume of the whole pipeline:
+    - ``"both"``: minhash estimate prefilter + exact shingle set ops;
+    - ``"exact"``: shingles only — skips the 1KB/doc minhash column. Right when
+      shingle sets are small relative to the 128-lane signature (short docs) or
+      when every candidate must be exactly verified anyway (recall>=0.99 gate);
+    - ``"estimate"``: minhash only — fixed 1KB/doc regardless of document length,
+      est_jaccard doubles as jaccard. Right for long web pages (multi-KB shingle
+      sets) where exact verification runs as a later targeted pass.
     """
-    a = _doc_side(signatures, id_col, "a")
-    b = _doc_side(signatures, id_col, "b")
+    carry = {
+        "both": ("minhash", "simhash", "n_shingles", "shingles"),
+        "exact": ("simhash", "n_shingles", "shingles"),
+        "estimate": ("minhash", "simhash", "n_shingles"),
+    }[evidence]
+    a = _doc_side(signatures, id_col, "a", carry)
+    b = _doc_side(signatures, id_col, "b", carry)
     scored = pairs.join(a, "id_a").join(b, "id_b")
 
     # empty-shingle docs share simhash=0; force max Hamming so the SimHash route
@@ -69,8 +87,6 @@ def score_pairs(
         else F.lit(True)
     )
     scored = scored.withColumn(
-        "est_jaccard", est_jaccard_col(F.col("minhash_a"), F.col("minhash_b"))
-    ).withColumn(
         "hamming",
         F.when(
             valid_sim,
@@ -78,12 +94,20 @@ def score_pairs(
         ).otherwise(F.lit(cfg.simhash_bits)),
     )
 
-    # cheap pre-filter: keep pairs plausibly above threshold by estimate OR close in
-    # Hamming space (SimHash candidates can have low lexical-Jaccard estimates)
-    scored = scored.where(
-        (F.col("est_jaccard") >= F.lit(max(0.0, cfg.jaccard_threshold - prefilter_margin)))
-        | (F.col("hamming") <= F.lit(cfg.hamming_k))
-    )
+    if "minhash_a" in scored.columns:
+        scored = scored.withColumn(
+            "est_jaccard", est_jaccard_col(F.col("minhash_a"), F.col("minhash_b"))
+        )
+        # cheap pre-filter: keep pairs plausibly above threshold by estimate OR
+        # close in Hamming space (SimHash candidates can have low lexical-Jaccard
+        # estimates)
+        scored = scored.where(
+            (
+                F.col("est_jaccard")
+                >= F.lit(max(0.0, cfg.jaccard_threshold - prefilter_margin))
+            )
+            | (F.col("hamming") <= F.lit(cfg.hamming_k))
+        )
 
     if "shingles_a" in scored.columns:
         inter = F.size(F.array_intersect("shingles_a", "shingles_b"))
@@ -107,6 +131,8 @@ def score_pairs(
         scored = scored.withColumn("jaccard", F.col("est_jaccard")).withColumn(
             "containment", F.col("est_jaccard")
         )
+    if "est_jaccard" not in scored.columns:  # evidence="exact": exact IS the estimate
+        scored = scored.withColumn("est_jaccard", F.col("jaccard"))
 
     return scored.select(
         "id_a", "id_b", "est_jaccard", "hamming", "jaccard", "containment"

@@ -114,7 +114,10 @@ def run_pipeline(
         reused=True,
     )
     candidates = stage("candidate_pairs", lambda: candidate_stage(signatures, cfg))
-    scored = stage("scored_pairs", lambda: score_pairs(candidates, signatures, cfg))
+    scored = stage(
+        "scored_pairs",
+        lambda: score_pairs(candidates, signatures, cfg, evidence=cfg.verify_evidence),
+    )
     edges = stage("dup_edges", lambda: accept_edges(scored, cfg))
     clusters = stage(
         "clusters",
