@@ -652,6 +652,90 @@ def q_retrieval_metrics(spark, sf):
     )
 
 
+@_register(
+    "overlap_token_spans",
+    f"""
+    WITH {_NGRAM_JACCARD_CTE},
+    pairdocs AS (
+      SELECT DISTINCT id_a AS doc_id FROM jac
+      UNION
+      SELECT DISTINCT id_b FROM jac
+    ),
+    rtoks AS (SELECT t.doc_id, t.t FROM toks t JOIN pairdocs USING (doc_id)),
+    lens AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS l FROM rtoks),
+    starts AS (SELECT doc_id, l, t, unnest(range(len(t) - l + 1)) AS i FROM lens),
+    runs AS (
+      SELECT DISTINCT doc_id, l,
+             array_to_string(list_slice(t, i + 1, i + l), ' ') AS run
+      FROM starts
+    ),
+    spans AS (
+      SELECT p.id_a, p.id_b, max(ra.l) AS overlap_span
+      FROM jac p
+        JOIN runs ra ON ra.doc_id = p.id_a
+        JOIN runs rb ON rb.doc_id = p.id_b AND rb.l = ra.l AND rb.run = ra.run
+      GROUP BY 1, 2
+    )
+    SELECT CAST(p.id_a AS VARCHAR) AS id_a, CAST(p.id_b AS VARCHAR) AS id_b,
+           CAST(coalesce(s.overlap_span, 0) AS INTEGER) AS overlap_span
+    FROM jac p LEFT JOIN spans s ON s.id_a = p.id_a AND s.id_b = p.id_b
+    """,
+)
+def q_overlap_spans(spark, sf):
+    """The suffix-array-analog exact-span pass (north_star): longest exactly-shared
+    contiguous token run per candidate pair, verified against a brute-force
+    all-substrings SQL oracle. Candidates = 3-gram Jaccard >= 0.5 pairs."""
+    from cqaduplicatefind_spark.operators.overlap import overlap_spans
+
+    pairs = q_ngram_jaccard(spark, sf).select(
+        F.col("id_a").cast("string").alias("id_a"),
+        F.col("id_b").cast("string").alias("id_b"),
+    )
+    docs = _read(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("url"), F.col("text")
+    )
+    return overlap_spans(pairs, docs, id_col="url", text_col="text")
+
+
+@_register(
+    "latest_event_per_user",
+    """
+    SELECT user_id, event_id, ts, event_type
+    FROM (
+      SELECT user_id, event_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_latest_event(spark, sf):
+    """Recency dedup — keep the newest record per key (the 'latest crawl per url'
+    pattern for (url, warc_ts) web tables, exercised on the events table)."""
+    e = _read(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+
+
+@_register("dedup_pipeline_clusters_per_source", None)
+def q_pipeline_grouped(spark, sf):
+    """Group-scoped dedup (the reference's per-forum runs as ONE job): candidates
+    never cross the ``source`` column; rows-only driver check, cross-group
+    isolation asserted in tests."""
+    from cqaduplicatefind_spark.plans.pipeline import run_pipeline
+
+    docs = _read(spark, sf, "documents")
+    pages = docs.select(
+        F.col("doc_id").cast("string").alias("url"), "text", F.col("source")
+    )
+    result = run_pipeline(spark, pages, _doc_config(), group_col="source")
+    return result.clusters
+
+
 # ---------- embeddings: similarity search ----------
 
 @_register(

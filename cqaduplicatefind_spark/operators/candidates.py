@@ -102,22 +102,42 @@ def band_keys(cfg: DedupConfig, minhash_col: str = "minhash"):
 
 
 def explode_bands(
-    signatures: DataFrame, cfg: DedupConfig, id_col: str = "url"
+    signatures: DataFrame,
+    cfg: DedupConfig,
+    id_col: str = "url",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """signatures(url, minhash) -> (id, band, bh); pure Catalyst explode."""
+    """signatures(url, minhash) -> (id, [extras...], band, bh); pure Catalyst
+    explode. ``extra_cols`` ride along into the bucket key (e.g. a group column
+    for per-forum-scoped dedup)."""
     return signatures.select(
         F.col(id_col).alias("id"),
+        *extra_cols,
         F.explode(F.array(*band_keys(cfg))).alias("bk"),
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    ).select(
+        "id", *extra_cols, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
+    )
 
 
 def minhash_lsh_candidates(
-    signatures: DataFrame, cfg: DedupConfig, id_col: str = "url", dedup: bool = True
+    signatures: DataFrame,
+    cfg: DedupConfig,
+    id_col: str = "url",
+    dedup: bool = True,
+    group_col: str | None = None,
 ) -> DataFrame:
-    """MinHash-LSH candidate pairs: collide in >= 1 of ``cfg.bands`` bands."""
-    bands = explode_bands(signatures, cfg, id_col)
+    """MinHash-LSH candidate pairs: collide in >= 1 of ``cfg.bands`` bands.
+    With ``group_col``, the group is part of the bucket key, so candidates never
+    cross groups — the reference's per-forum runs (SURVEY U1) as one job, no
+    driver loop over forums."""
+    extras = (group_col,) if group_col else ()
+    bands = explode_bands(signatures, cfg, id_col, extras)
     return bucket_candidates(
-        bands, "id", ("band", "bh"), max_group=cfg.max_band_group, dedup=dedup
+        bands,
+        "id",
+        (*extras, "band", "bh"),
+        max_group=cfg.max_band_group,
+        dedup=dedup,
     )
 
 
@@ -139,19 +159,29 @@ def simhash_piece_keys(cfg: DedupConfig, simhash_col: str = "simhash"):
 
 
 def simhash_candidates(
-    signatures: DataFrame, cfg: DedupConfig, id_col: str = "url", dedup: bool = True
+    signatures: DataFrame,
+    cfg: DedupConfig,
+    id_col: str = "url",
+    dedup: bool = True,
+    group_col: str | None = None,
 ) -> DataFrame:
     """SimHash candidates: agree on >= 1 of k+1 pieces, then exact Hamming filter
-    (bit_count of xor, JVM-side) <= k."""
+    (bit_count of xor, JVM-side) <= k. ``group_col`` scopes buckets per group."""
     from pyspark.sql import Window
 
+    extras = [group_col] if group_col else []
     pieces = signatures.select(
         F.col(id_col).alias("id"),
+        *extras,
         F.col("simhash"),
         F.explode(F.array(*simhash_piece_keys(cfg))).alias("pk"),
-    ).select("id", "simhash", F.col("pk.piece").alias("piece"), F.col("pk.pv").alias("pv"))
+    ).select(
+        "id", *extras, "simhash",
+        F.col("pk.piece").alias("piece"), F.col("pk.pv").alias("pv"),
+    )
 
-    w = Window.partitionBy("piece", "pv")
+    keys = [*extras, "piece", "pv"]
+    w = Window.partitionBy(*keys)
     annotated = (
         pieces.withColumn("_n", F.count("*").over(w))
         .withColumn("_min_id", F.min("id").over(w))
@@ -159,10 +189,10 @@ def simhash_candidates(
     )
 
     small = annotated.where(F.col("_n") <= cfg.max_band_group)
-    left = small.select("piece", "pv", F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
-    right = small.select("piece", "pv", F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    left = small.select(*keys, F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    right = small.select(*keys, F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
     small_pairs = (
-        left.join(right, ["piece", "pv"])
+        left.join(right, keys)
         .where(F.col("id_a") < F.col("id_b"))
         .where(F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))) <= cfg.hamming_k)
         .select("id_a", "id_b")
@@ -171,11 +201,11 @@ def simhash_candidates(
     # hot pieces: star edges to group min, Hamming-filtered against the min's simhash
     min_sigs = annotated.where(F.col("_n") > cfg.max_band_group).where(
         F.col("id") == F.col("_min_id")
-    ).select("piece", "pv", F.col("simhash").alias("sh_min"))
+    ).select(*keys, F.col("simhash").alias("sh_min"))
     big_pairs = (
         annotated.where(F.col("_n") > cfg.max_band_group)
         .where(F.col("id") != F.col("_min_id"))
-        .join(min_sigs, ["piece", "pv"])
+        .join(min_sigs, keys)
         .where(F.bit_count(F.col("simhash").bitwiseXOR(F.col("sh_min"))) <= cfg.hamming_k)
         .select(F.col("_min_id").alias("id_a"), F.col("id").alias("id_b"))
     )

@@ -52,10 +52,16 @@ class PipelineResult:
     stage_metrics: dict = field(default_factory=dict)
 
 
-def normalize_stage(pages: DataFrame, cfg: DedupConfig, use_html: bool = False) -> DataFrame:
-    """pages(url, [html], text, lang) -> (url, norm_text). If ``use_html`` the text
-    column is re-extracted from html (byte-identical invariant); default trusts the
-    provided text column (it must equal strip_tags(html) — verified by tests)."""
+def normalize_stage(
+    pages: DataFrame,
+    cfg: DedupConfig,
+    use_html: bool = False,
+    group_col: str | None = None,
+) -> DataFrame:
+    """pages(url, [html], text, lang) -> (url, [group], norm_text). If ``use_html``
+    the text column is re-extracted from html (byte-identical invariant); default
+    trusts the provided text column (it must equal strip_tags(html) — verified by
+    tests)."""
     df = pages
     # pandas-UDF stages parallelize over partitions; a small input (one parquet
     # file -> one split) would otherwise run the whole normalize+signature chain
@@ -65,25 +71,33 @@ def normalize_stage(pages: DataFrame, cfg: DedupConfig, use_html: bool = False) 
         df = df.repartition(cfg.signature_partitions, "url")
     if use_html:
         df = with_extracted_text(df, "html", "text")
-    return with_normalized_text(df, "text", "norm_text").select(
-        "url", "norm_text"
-    )
+    keep = ["url"] + ([group_col] if group_col else []) + ["norm_text"]
+    return with_normalized_text(df, "text", "norm_text").select(*keep)
 
 
-def signature_stage(normalized: DataFrame, cfg: DedupConfig) -> DataFrame:
-    return with_signatures(normalized, cfg, "norm_text").select(
-        "url", "minhash", "simhash", "n_tokens", "n_shingles", "shingles"
-    )
+def signature_stage(
+    normalized: DataFrame, cfg: DedupConfig, group_col: str | None = None
+) -> DataFrame:
+    keep = ["url"] + ([group_col] if group_col else []) + [
+        "minhash", "simhash", "n_tokens", "n_shingles", "shingles"
+    ]
+    return with_signatures(normalized, cfg, "norm_text").select(*keep)
 
 
-def candidate_stage(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
+def candidate_stage(
+    signatures: DataFrame, cfg: DedupConfig, group_col: str | None = None
+) -> DataFrame:
     # both sources skip their internal dedup; one dropDuplicates shuffle at the end
-    mh = minhash_lsh_candidates(signatures.select("url", "minhash"), cfg, dedup=False)
+    g = [group_col] if group_col else []
+    mh = minhash_lsh_candidates(
+        signatures.select("url", *g, "minhash"), cfg, dedup=False, group_col=group_col
+    )
     # empty-shingle docs all carry simhash=0; they must not bucket together
     sh = simhash_candidates(
-        signatures.where(F.col("n_shingles") > 0).select("url", "simhash"),
+        signatures.where(F.col("n_shingles") > 0).select("url", *g, "simhash"),
         cfg,
         dedup=False,
+        group_col=group_col,
     )
     return mh.unionByName(sh).dropDuplicates(["id_a", "id_b"])
 
@@ -94,9 +108,14 @@ def run_pipeline(
     cfg: DedupConfig,
     warehouse: Warehouse | None = None,
     use_html: bool = False,
+    group_col: str | None = None,
 ) -> PipelineResult:
     """Run (or resume) the full dedup pipeline. With a warehouse, every stage is
-    checkpointed + resumable; without, it's one lazy plan."""
+    checkpointed + resumable; without, it's one lazy plan.
+
+    ``group_col`` scopes candidate generation within groups (the reference's
+    per-forum corpora, SURVEY U1) — one job over the union, not a driver loop;
+    omit for the combined ("full") corpus run."""
 
     def stage(name: str, compute, reused: bool = False):
         if warehouse is None:
@@ -110,10 +129,14 @@ def run_pipeline(
 
     signatures = stage(
         "signatures",
-        lambda: signature_stage(normalize_stage(pages, cfg, use_html), cfg),
+        lambda: signature_stage(
+            normalize_stage(pages, cfg, use_html, group_col), cfg, group_col
+        ),
         reused=True,
     )
-    candidates = stage("candidate_pairs", lambda: candidate_stage(signatures, cfg))
+    candidates = stage(
+        "candidate_pairs", lambda: candidate_stage(signatures, cfg, group_col)
+    )
     scored = stage(
         "scored_pairs",
         lambda: score_pairs(candidates, signatures, cfg, evidence=cfg.verify_evidence),
