@@ -1,0 +1,116 @@
+"""Physical-plan quality gates: the properties that matter at 100 TB must be
+visible in the plan, not assumed — filter pushdown to the parquet scan, column
+pruning, broadcast joins for small dims, map-side partial aggregation, and a
+shuffle-free signature stage (SURVEY §4)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def queries():
+    import __spark_entry__ as entry
+
+    return entry.queries()
+
+
+def test_filter_pushed_to_parquet_scan(spark, queries):
+    plan = plan_of(queries["filter_predicate"](spark, SF))
+    assert "PushedFilters" in plan
+    # both predicates reach the scan (Parquet row-group + page-level skipping)
+    assert "EqualTo(l_returnflag,R)" in plan.replace(" ", "")
+    assert "GreaterThan(l_quantity,30" in plan.replace(" ", "")
+
+
+def test_projection_pruned_at_scan(spark, queries):
+    plan = plan_of(queries["projection_pushdown"](spark, SF))
+    # ReadSchema carries only the three needed columns, not the 16-column table
+    read = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read, plan
+    schema_line = read[0]
+    for col in ("l_orderkey", "l_partkey", "l_extendedprice"):
+        assert col in schema_line
+    for dropped in ("l_comment", "l_shipdate", "l_quantity"):
+        assert dropped not in schema_line
+
+
+def test_small_dim_join_broadcasts(spark, queries):
+    plan = plan_of(queries["broadcast_dim_join"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_agg_has_mapside_partial(spark, queries):
+    plan = plan_of(queries["groupby_agg_tpch_q1"](spark, SF))
+    # Catalyst plans HashAggregate(partial) -> Exchange -> HashAggregate(final):
+    # map-side combine means the shuffle carries one row per group per task,
+    # not one per input row
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan or "partial" in plan
+
+
+def test_signature_stage_is_shuffle_free(spark, cfg):
+    """normalize+signature is a narrow map: after the one input repartition the
+    plan must contain NO other Exchange — at 10^12 docs an accidental shuffle
+    of raw text dominates everything."""
+    from cqaduplicatefind_spark.plans.pipeline import normalize_stage, signature_stage
+
+    pages = spark.createDataFrame(
+        [(f"u{i}", f"some text tokens here number {i}") for i in range(100)],
+        "url string, text string",
+    )
+    sigs = signature_stage(normalize_stage(pages, cfg), cfg)
+    plan = plan_of(sigs, "simple")
+    assert plan.count("Exchange") <= 1, plan
+    # signatures are computed by one Arrow-batched python stage, not per-row UDFs
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan or "EvalPython" in plan
+
+
+def test_candidate_stage_shuffle_budget(spark, cfg):
+    """The candidate stage shuffles data on exactly THREE key families — LSH band
+    bucket (band, bh), SimHash piece bucket (piece, pv), and the pair-dedup key
+    (id_a, id_b) — independent of data size (the documented budget in
+    plans/pipeline.py). Identical exchange subtrees are reused at runtime (AQE
+    shuffle-stage reuse), so the invariant worth guarding is the key-family set:
+    a new family = a new accidental shuffle."""
+    import re
+
+    from cqaduplicatefind_spark.plans.pipeline import (
+        candidate_stage,
+        normalize_stage,
+        signature_stage,
+    )
+
+    pages = spark.createDataFrame(
+        [(f"u{i}", f"some text tokens here number {i} more words") for i in range(100)],
+        "url string, text string",
+    )
+    # mirror run_pipeline: signatures are persisted, cutting the UDF chain out of
+    # the candidate plan (each branch reads the cache, not a recompute)
+    sigs = signature_stage(normalize_stage(pages, cfg), cfg).persist()
+    sigs.count()
+    try:
+        plan = plan_of(candidate_stage(sigs, cfg), "simple")
+        assert "InMemoryTableScan" in plan  # cache actually feeds the plan
+        keys = {
+            re.sub(r"#\d+L?", "", m)
+            for m in re.findall(r"Exchange hashpartitioning\(([^)]*), \d+\)", plan)
+        }
+        # "url" = the input-split repartition inside the cached signature plan's
+        # printed lineage (not re-executed; the cache feeds the stage)
+        expected = {"band, bh", "piece, pv", "id_a, id_b", "url"}
+        assert keys <= expected, f"unexpected shuffle key families: {keys - expected}"
+    finally:
+        sigs.unpersist()

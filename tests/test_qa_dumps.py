@@ -1,0 +1,80 @@
+"""Reference-format ingestion (orient='index' JSON dumps) and labeled-pair CSV
+round-trip — SURVEY S1-S4 lifecycle A end to end."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from cqaduplicatefind_spark.operators.pairs import (
+    gold_edges_from_dups,
+    labeled_pairs,
+)
+from cqaduplicatefind_spark.sources.qa_dumps import (
+    read_pairs_csv,
+    read_question_dumps,
+    write_pairs_csv,
+)
+
+
+@pytest.fixture(scope="module")
+def dump_dir(tmp_path_factory):
+    """Two per-forum dumps in the reference's orient='index' shape."""
+    d = tmp_path_factory.mktemp("dumps")
+    android = {
+        "101": {"title": "wifi drops", "body": "<p>wifi keeps dropping</p>",
+                "dups": ["102"], "tags": ["wifi"]},
+        "102": {"title": "wifi disconnects", "body": "<p>wifi disconnects a lot</p>",
+                "dups": ["101"]},
+        "103": {"title": "battery drain", "body": "<p>battery dies fast</p>",
+                "dups": []},
+        "104": {"title": "screen rotate", "body": "<p>rotation stuck</p>"},
+    }
+    gaming = {
+        "201": {"title": "fps drops", "body": "<p>frames tank</p>", "dups": []},
+        "202": {"title": "controller lag", "body": "<p>input lag</p>", "dups": []},
+    }
+    (d / "android.json").write_text(json.dumps(android))
+    (d / "gaming.json").write_text(json.dumps(gaming))
+    return str(d)
+
+
+def test_read_question_dumps(spark, dump_dir):
+    df = read_question_dumps(spark, dump_dir + "/*.json").cache()
+    assert df.count() == 6
+    assert set(df.columns) == {"forum", "question_id", "title", "body", "dups"}
+    rows = {r.question_id: r for r in df.collect()}
+    assert rows["101"].forum == "android"
+    assert rows["201"].forum == "gaming"
+    assert rows["101"].dups == ["102"]
+    assert rows["104"].dups == []  # missing dups field -> empty array, not null
+    # extra JSON fields (tags) silently ignored, like the reference's projection
+    assert rows["101"].title == "wifi drops"
+
+
+def test_dump_to_labeled_pairs_to_csv_roundtrip(spark, dump_dir, tmp_path):
+    docs = read_question_dumps(spark, dump_dir + "/*.json").select(
+        F.col("question_id").alias("url"),
+        F.concat_ws(" ", "title", "body").alias("norm_text"),
+        "dups",
+    )
+    gold = gold_edges_from_dups(docs)
+    assert gold.count() == 1  # 101<->102 canonicalized to one edge
+
+    pairs = labeled_pairs(docs, gold, negatives_per_positive=2)
+    got = pairs.collect()
+    n_pos = sum(1 for r in got if r.dup == 1)
+    n_neg = sum(1 for r in got if r.dup == 0)
+    assert n_pos == 2  # one per direction (each doc with a gold dup)
+    assert n_neg >= 1  # small negative pool, ratio capped by availability
+
+    out = str(tmp_path / "pairs_csv")
+    write_pairs_csv(pairs, out)
+    back = read_pairs_csv(spark, out)
+    assert back.count() == pairs.count()
+    assert set(back.columns) == {"q1_id", "q1", "q2_id", "q2", "dup"}
+    # exact content round-trip
+    assert pairs.exceptAll(back).count() == 0
+    assert back.exceptAll(pairs).count() == 0
