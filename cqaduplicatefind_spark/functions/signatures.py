@@ -76,6 +76,11 @@ def minhash_matrix(
         return sig
     starts = offsets[:-1]
     nonempty = offsets[1:] > starts
+    # reduceat over NON-EMPTY docs' starts only: they are strictly increasing and
+    # < len, so every segment boundary is exact. (Clamping empty docs' starts to
+    # len-1 — the tempting one-liner — silently truncates the PREVIOUS doc's
+    # segment whenever an empty doc sits at the end of the batch.)
+    valid_starts = starts[nonempty]
     scratch = np.empty((len(seeds[:chunk]), len(all_shingles)), dtype=np.uint64)
     for c0 in range(0, n_perms, chunk):
         seed_chunk = seeds[c0 : c0 + chunk]
@@ -87,10 +92,8 @@ def minhash_matrix(
         with np.errstate(over="ignore"):
             np.add(mixed, _SM_GAMMA, out=mixed)
         splitmix64_inplace(mixed)
-        # reduceat needs strictly valid starts; rows for empty docs are fixed after
-        mins = np.minimum.reduceat(mixed, np.minimum(starts, len(all_shingles) - 1), axis=1)
-        mins[:, ~nonempty] = _MAX_U64
-        sig[:, c0 : c0 + chunk] = mins.T
+        mins = np.minimum.reduceat(mixed, valid_starts, axis=1)
+        sig[np.flatnonzero(nonempty), c0 : c0 + chunk] = mins.T
     return sig
 
 
@@ -113,14 +116,15 @@ def simhash_vector(
     bit_mat = np.unpackbits(
         all_tokens.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
     )[:, :bits]
-    pop = np.add.reduceat(
-        bit_mat, np.minimum(starts, len(all_tokens) - 1), axis=0, dtype=np.int64
-    )
+    # reduceat over non-empty docs' starts only (see minhash_matrix: clamping
+    # empty trailing starts truncates the previous doc's segment)
+    pop = np.add.reduceat(bit_mat, starts[nonempty], axis=0, dtype=np.int64)
     shifts = np.arange(bits, dtype=np.uint64)
     # sign-sum = 2*pop - count; bit set iff sign-sum > 0
-    packed = (2 * pop > counts[:, None]).astype(np.uint64) << shifts[None, :]
-    out = np.bitwise_or.reduce(packed, axis=1)
-    out[~nonempty] = 0
+    packed = (
+        (2 * pop > counts[nonempty, None]).astype(np.uint64) << shifts[None, :]
+    )
+    out[np.flatnonzero(nonempty)] = np.bitwise_or.reduce(packed, axis=1)
     return out
 
 
