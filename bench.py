@@ -128,6 +128,9 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "ann_cosine_topk",
         "exact_dedup_hash_groups",
         "time_window_agg",
+        "lang_id_histogram",
+        "latest_event_per_user",
+        "retrieval_metrics_p_at_k",
     ]
     qs = entry_mod.queries()
     out = {}

@@ -1,0 +1,91 @@
+"""Hot-band skew guard (star pairing keeps pair volume linear in the bucket
+size — the property that survives boilerplate pages colliding at 10^12-doc
+scale) and verify-evidence-mode equivalence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cqaduplicatefind_spark.config import DedupConfig
+from cqaduplicatefind_spark.operators.verify import accept_edges, score_pairs
+from cqaduplicatefind_spark.plans.pipeline import (
+    candidate_stage,
+    normalize_stage,
+    run_pipeline,
+    signature_stage,
+)
+
+
+def _cfg(**kw):
+    base = dict(shingle_k=3, jaccard_threshold=0.7,
+                shuffle_partitions=8, signature_partitions=8)
+    base.update(kw)
+    return DedupConfig(**base)
+
+
+def test_hot_band_emits_linear_pairs_not_quadratic(spark):
+    """500 byte-identical docs collide in EVERY band and every simhash piece.
+    Full pairing would emit C(500,2)=124_750 pairs per bucket; the star cap must
+    keep total candidate pairs O(m)."""
+    m = 500
+    text = "the same boilerplate template page body " + " ".join(
+        f"tok{j}" for j in range(30)
+    )
+    pages = spark.createDataFrame(
+        [(f"u{i:04d}", text) for i in range(m)], "url string, text string"
+    )
+    cfg = _cfg(max_band_group=8)
+    sigs = signature_stage(normalize_stage(pages, cfg), cfg).persist()
+    try:
+        pairs = candidate_stage(sigs, cfg)
+        n_pairs = pairs.count()
+        # star edges: every non-min member links to the bucket min, per source;
+        # after pair-dedup that's m-1 (+ nothing else: all buckets are the same
+        # hot group). Allow slack for the simhash source's own star set.
+        assert n_pairs < 3 * m, f"pair blowup: {n_pairs} pairs for {m} docs"
+
+        # connectivity preserved: verify + CC still put ALL m docs in ONE cluster
+        result = run_pipeline(spark, pages, cfg)
+        sizes = result.clusters.groupBy("cluster_id").count().collect()
+        assert len(sizes) == 1 and sizes[0]["count"] == m
+        result.signatures.unpersist()
+    finally:
+        sigs.unpersist()
+
+
+def test_verify_evidence_modes_agree_on_accepted_edges(spark, tiny_fixture):
+    """evidence='exact' (no minhash shipped) and evidence='both' (minhash
+    prefilter) accept the same edges whenever the 128-perm estimate is within
+    the prefilter margin — true on the fixture; 'estimate' (no shingles) must
+    accept a superset-compatible edge set at the same threshold."""
+    pages, gold_edges, _ = tiny_fixture
+    cfg = _cfg()
+    sigs = signature_stage(normalize_stage(pages, cfg), cfg).persist()
+    try:
+        cand = candidate_stage(sigs, cfg).persist()
+        exact = accept_edges(
+            score_pairs(cand, sigs, cfg, evidence="exact"), cfg
+        ).select("id_a", "id_b")
+        both = accept_edges(
+            score_pairs(cand, sigs, cfg, evidence="both"), cfg
+        ).select("id_a", "id_b")
+        assert exact.exceptAll(both).count() == 0
+        assert both.exceptAll(exact).count() == 0
+
+        est = accept_edges(
+            score_pairs(cand, sigs, cfg, evidence="estimate"), cfg
+        ).select("id_a", "id_b")
+        # estimate mode thresholds on the 128-lane estimate instead of exact
+        # Jaccard: same ballpark edge count, and recall vs gold must not collapse
+        n_exact, n_est = exact.count(), est.count()
+        assert n_est >= 0.8 * n_exact
+        hit_exact = gold_edges.join(
+            exact.withColumnsRenamed({"id_a": "src", "id_b": "dst"}),
+            ["src", "dst"], "left_semi").count()
+        hit_est = gold_edges.join(
+            est.withColumnsRenamed({"id_a": "src", "id_b": "dst"}),
+            ["src", "dst"], "left_semi").count()
+        assert hit_est >= 0.95 * hit_exact
+        cand.unpersist()
+    finally:
+        sigs.unpersist()
