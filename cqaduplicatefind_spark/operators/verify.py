@@ -95,8 +95,14 @@ def score_pairs(
     )
 
     if "minhash_a" in scored.columns:
+        # zero-shingle docs share the all-MAX_U64 sentinel signature: every lane
+        # compares equal between two unrelated short docs. Force the estimate to 0
+        # when either side has no shingles (there is no set to estimate Jaccard of).
         scored = scored.withColumn(
-            "est_jaccard", est_jaccard_col(F.col("minhash_a"), F.col("minhash_b"))
+            "est_jaccard",
+            F.when(
+                valid_sim, est_jaccard_col(F.col("minhash_a"), F.col("minhash_b"))
+            ).otherwise(F.lit(0.0)),
         )
         # cheap pre-filter: keep pairs plausibly above threshold by estimate OR
         # close in Hamming space (SimHash candidates can have low lexical-Jaccard

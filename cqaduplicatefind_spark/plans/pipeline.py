@@ -89,12 +89,16 @@ def candidate_stage(
 ) -> DataFrame:
     # both sources skip their internal dedup; one dropDuplicates shuffle at the end
     g = [group_col] if group_col else []
+    # docs with zero shingles (fewer than shingle_k tokens) carry the all-MAX_U64
+    # sentinel MinHash and simhash=0 — identical signatures for UNRELATED docs.
+    # They must be excluded from BOTH bucket explodes or every pair of short docs
+    # becomes a candidate (and, in verify_evidence="estimate" mode, a false edge).
+    signed = signatures.where(F.col("n_shingles") > 0)
     mh = minhash_lsh_candidates(
-        signatures.select("url", *g, "minhash"), cfg, dedup=False, group_col=group_col
+        signed.select("url", *g, "minhash"), cfg, dedup=False, group_col=group_col
     )
-    # empty-shingle docs all carry simhash=0; they must not bucket together
     sh = simhash_candidates(
-        signatures.where(F.col("n_shingles") > 0).select("url", *g, "simhash"),
+        signed.select("url", *g, "simhash"),
         cfg,
         dedup=False,
         group_col=group_col,

@@ -53,6 +53,39 @@ def test_hot_band_emits_linear_pairs_not_quadratic(spark):
         sigs.unpersist()
 
 
+def test_short_docs_never_link_via_sentinel_signatures(spark):
+    """Docs with fewer than shingle_k tokens share the all-MAX_U64 sentinel
+    MinHash and simhash=0. They must NOT become candidates (band explode excludes
+    them) and must NOT be accepted in estimate mode (est_jaccard forced to 0) —
+    previously every pair of short docs scored est_jaccard=1.0 and merged into
+    one giant false cluster."""
+    pages = spark.createDataFrame(
+        [
+            ("s1", "red car"),          # 2 tokens < shingle_k=3 -> 0 shingles
+            ("s2", "blue sky"),
+            ("s3", "green"),
+            ("s4", ""),
+            ("d1", "a real document with plenty of tokens to shingle properly"),
+            ("d2", "a real document with plenty of tokens to shingle properly"),
+        ],
+        "url string, text string",
+    )
+    for evidence in ("estimate", "both", "exact"):
+        cfg = _cfg(verify_evidence=evidence)
+        result = run_pipeline(spark, pages, cfg)
+        cand = {tuple(r) for r in result.candidates.select("id_a", "id_b").collect()}
+        shorts = {"s1", "s2", "s3", "s4"}
+        assert not any(a in shorts or b in shorts for a, b in cand), (
+            f"sentinel-signature docs became candidates in {evidence} mode: {cand}"
+        )
+        clusters = {
+            r["url"]: r["cluster_id"] for r in result.clusters.collect()
+        }
+        # the two real duplicates cluster together; every short doc is a singleton
+        assert clusters["d1"] == clusters["d2"]
+        assert len({clusters[s] for s in shorts}) == len(shorts)
+
+
 def test_verify_evidence_modes_agree_on_accepted_edges(spark, tiny_fixture):
     """evidence='exact' (no minhash shipped) and evidence='both' (minhash
     prefilter) accept the same edges whenever the 128-perm estimate is within
