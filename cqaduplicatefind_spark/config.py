@@ -52,12 +52,17 @@ class DedupConfig:
     verify_evidence: str = "exact"
 
     # --- skew handling ---
-    # band groups larger than this emit O(m) star edges instead of O(m^2) pairs;
-    # connectivity (= final clusters) is identical, and a pair colliding in every
-    # band otherwise costs bands * C(m,2) shuffle rows. Small groups keep full
-    # pairing for verification robustness.
+    # band groups larger than this emit O(m) star edges + salted sub-bucket pairs
+    # instead of O(m^2) full pairs; a pair colliding in every band otherwise costs
+    # bands * C(m,2) shuffle rows. Small groups keep full pairing for
+    # verification robustness.
     max_band_group: int = 8
-    salt_buckets: int = 8        # sub-buckets for oversized band groups
+    # hot groups are re-keyed into sub-buckets of expected size max_band_group and
+    # fully paired within each (so true-dup pairs inside a heterogeneous hot
+    # bucket survive exact-verify, which may reject their star edges); this caps
+    # an unlucky/adversarial sub-bucket at salt_buckets * max_band_group members.
+    # 0 disables sub-bucket pairing (stars only).
+    salt_buckets: int = 8
 
     # --- retrieval / evaluation ---
     top_k: int = 10              # reference: numberOfRelevantQs=10
@@ -77,9 +82,18 @@ class DedupConfig:
         if self.simhash_bits not in (32, 64):
             raise ValueError("simhash_bits must be 32 or 64")
 
+    # knobs that tune EXECUTION, not duplicate semantics: changing parallelism must
+    # not invalidate checkpoints (results are parallelism-independent — proven by
+    # the scaling bench's cross-level cluster checksum)
+    _EXECUTION_KNOBS = ("shuffle_partitions", "signature_partitions", "extra")
+
     def fingerprint(self) -> str:
         """Stable hash of duplicate semantics — stamped into checkpoint lineage so a
-        resume with a different config never silently reuses stale stage tables."""
-        payload = {k: v for k, v in asdict(self).items() if k != "extra"}
+        resume with a different config never silently reuses stale stage tables.
+        Execution-tuning knobs are excluded: re-running with different parallelism
+        resumes cleanly from the same checkpoints."""
+        payload = {
+            k: v for k, v in asdict(self).items() if k not in self._EXECUTION_KNOBS
+        }
         blob = json.dumps(payload, sort_keys=True).encode("utf-8")
         return hashlib.sha256(blob).hexdigest()[:16]

@@ -11,12 +11,24 @@ Scale design (the part that must survive 10^12 docs):
 - Band keys are computed **JVM-side** (``xxhash64`` over ``slice(minhash, ...)``)
   inside whole-stage codegen — no Python in the explode path.
 - The self-join shuffles on (bucket kind, key). Hot buckets (boilerplate pages whose
-  band collides at huge multiplicity) would emit O(m^2) pairs; we bound this with the
-  classic star trick: groups larger than ``cfg.max_band_group`` emit only the O(m)
-  star edges (member -> group-min id). Connectivity — and therefore the final
-  cluster assignment, which is what the north_rule grades — is preserved exactly;
-  only redundant intra-group pairs are skipped. AQE skew-join handles residual
-  block-level skew; group-size accounting is an explicit aggregation, not a sample.
+  band collides at huge multiplicity) would emit O(m^2) pairs; groups larger than
+  ``cfg.max_band_group`` are bounded two ways, both O(m):
+    (a) **star edges** (member -> group-min id): a connectivity backbone. Star edges
+        preserve the RAW candidate graph's components, but downstream exact-verify
+        can reject a (min, member) edge while the (member, member) pair it replaced
+        would have passed — so stars alone are not recall-safe in heterogeneous hot
+        buckets (a template family containing several distinct dup-clusters).
+    (b) **salted sub-buckets**: members are re-keyed by
+        ``xxhash64(id, bucket-key) % ceil(n / max_group)`` into sub-groups of
+        expected size ``max_group`` and fully paired within each — per-member
+        pairing cost in a hot bucket equals the cost members of an ordinary
+        ``max_group``-sized bucket already pay. The salt includes the bucket key,
+        so a true dup pair gets an INDEPENDENT 1/n_sub co-location draw in every
+        band it collides in, on top of its (usually non-hot) content-specific
+        bands. ``cfg.salt_buckets`` caps an unlucky/adversarial sub-group at
+        ``salt_buckets * max_group`` members (beyond that: stars only).
+  AQE skew-join handles residual block-level skew; group-size accounting is an
+  explicit aggregation, not a sample.
 - Pairs are canonicalized (a < b) and deduplicated once, at the end, on the pair key.
 """
 
@@ -49,43 +61,102 @@ def bucket_candidates(
     key_cols: tuple[str, ...] = ("bucket",),
     max_group: int = 64,
     dedup: bool = True,
+    carry_cols: tuple[str, ...] = (),
+    pair_filter=None,
+    salt_cap: int = 8,
+    salt_seed: int = 17,
 ) -> DataFrame:
-    """(id, bucket-key...) -> candidate edges (id_a, id_b), skew-capped.
+    """(id, bucket-key..., carry...) -> candidate edges (id_a, id_b), skew-capped.
 
-    Groups with <= max_group members emit all C(m,2) pairs via a self-equi-join;
-    larger (hot) groups emit m-1 star edges to the group minimum — same connected
-    components, linear output. One extra aggregation pass computes group sizes;
-    the join back to the bucket table broadcasts when small, shuffles otherwise.
+    Groups with <= max_group members emit all C(m,2) pairs via a self-equi-join.
+    Hot groups (> max_group) emit (a) m-1 star edges to the group minimum (O(m)
+    connectivity backbone) and (b) full pairs within salted sub-buckets of
+    expected size max_group (so member-member true-dup pairs survive a later
+    exact-verify that may reject their star edges; see module docstring).
+    ``salt_cap`` bounds an unlucky sub-bucket at salt_cap*max_group members
+    (0 disables sub-bucket pairing entirely).
+
+    ``carry_cols`` ride to both pair sides as ``<col>_a``/``<col>_b`` (star edges
+    carry the group-min's values via a struct-min window); ``pair_filter`` is
+    applied to every emitted pair WITH the carried columns — e.g. the SimHash
+    Hamming gate — before canonicalization.
+
+    Plan shape: small-bucket pairing and hot-bucket sub-bucket pairing are ONE
+    self-join on (bucket key, _salt) — small buckets get the constant salt -1, hot
+    members get ``xxhash64(id, bucket key) % n_sub`` — so the whole treatment is
+    one pairing join + a star projection. Both window passes and the join
+    partition by (a refinement of) the bucket key, so Catalyst satisfies them
+    with a SINGLE exchange (asserted by the plan shuffle-budget test).
     """
     from pyspark.sql import Window
 
     keys = list(key_cols)
-    b = buckets.select(F.col(id_col).alias("id"), *keys)
-    # group stats via a window over the bucket key: ONE exchange (vs groupBy+join's
-    # two), and the partitioning is reused by everything downstream
+    carry = list(carry_cols)
+    out_cols = ["id_a", "id_b"] + [f"{c}_{s}" for c in carry for s in ("a", "b")]
+
+    b = buckets.select(F.col(id_col).alias("id"), *keys, *carry)
     w = Window.partitionBy(*keys)
     annotated = (
         b.withColumn("_n", F.count("*").over(w))
-        .withColumn("_min_id", F.min("id").over(w))
+        # struct-min ordered by id first: the group-min id AND its carried columns
+        .withColumn("_mn", F.min(F.struct(F.col("id"), *carry)).over(w))
         .where(F.col("_n") >= 2)  # singleton buckets can't produce pairs
     )
 
-    small = annotated.where(F.col("_n") <= max_group)
-    left = small.select(*keys, F.col("id").alias("id_a"))
-    right = small.select(*keys, F.col("id").alias("id_b"))
-    small_pairs = left.join(right, keys).where(F.col("id_a") < F.col("id_b"))
+    # unified pairing key: small buckets pair whole (salt -1); hot-bucket members
+    # pair within salted sub-buckets of expected size max_group (salt over the
+    # bucket key too -> independent draws per band). salt_cap=0 exempts hot
+    # members from pairing entirely (stars only): salt NULL, filtered below.
+    is_small = F.col("_n") <= max_group
+    if salt_cap > 0:
+        n_sub = F.ceil(F.col("_n") / F.lit(max_group))
+        hot_salt = F.pmod(
+            F.xxhash64(F.col("id"), *[F.col(k) for k in keys], F.lit(salt_seed)),
+            n_sub,
+        )
+    else:
+        hot_salt = F.lit(None).cast("long")
+    annotated = annotated.withColumn(
+        "_salt", F.when(is_small, F.lit(-1).cast("long")).otherwise(hot_salt)
+    )
+    skeys = [*keys, "_salt"]
+    sw = Window.partitionBy(*skeys)
+    annotated = annotated.withColumn("_sn", F.count("*").over(sw))
 
-    # hot buckets: O(m) star edges to the bucket minimum — identical connectivity,
-    # never O(m^2); this is the skew guard for boilerplate band collisions
-    big_pairs = (
-        annotated.where(F.col("_n") > max_group)
-        .where(F.col("id") != F.col("_min_id"))
-        .select(F.col("_min_id").alias("id_a"), F.col("id").alias("id_b"))
+    pairable = annotated.where(
+        F.col("_salt").isNotNull()
+        & (F.col("_sn") >= 2)
+        & (F.col("_sn") <= F.lit(max(salt_cap, 1) * max_group))
+    )
+    left = pairable.select(
+        *skeys, F.col("id").alias("id_a"),
+        *[F.col(c).alias(f"{c}_a") for c in carry],
+    )
+    right = pairable.select(
+        *skeys, F.col("id").alias("id_b"),
+        *[F.col(c).alias(f"{c}_b") for c in carry],
+    )
+    pairs = (
+        left.join(right, skeys).where(F.col("id_a") < F.col("id_b")).select(*out_cols)
     )
 
-    return canonical_pairs(
-        small_pairs.select("id_a", "id_b").unionByName(big_pairs), dedup=dedup
+    # hot buckets additionally emit the O(m) star backbone to the bucket minimum
+    star = (
+        annotated.where(~is_small)
+        .where(F.col("id") != F.col("_mn.id"))
+        .select(
+            F.col("_mn.id").alias("id_a"),
+            *[F.col(f"_mn.{c}").alias(f"{c}_a") for c in carry],
+            F.col("id").alias("id_b"),
+            *[F.col(c).alias(f"{c}_b") for c in carry],
+        )
+        .select(*out_cols)
     )
+    pairs = pairs.unionByName(star)
+
+    if pair_filter is not None:
+        pairs = pair_filter(pairs)
+    return canonical_pairs(pairs.select("id_a", "id_b"), dedup=dedup)
 
 
 def band_keys(cfg: DedupConfig, minhash_col: str = "minhash"):
@@ -138,6 +209,7 @@ def minhash_lsh_candidates(
         (*extras, "band", "bh"),
         max_group=cfg.max_band_group,
         dedup=dedup,
+        salt_cap=cfg.salt_buckets,
     )
 
 
@@ -166,10 +238,10 @@ def simhash_candidates(
     group_col: str | None = None,
 ) -> DataFrame:
     """SimHash candidates: agree on >= 1 of k+1 pieces, then exact Hamming filter
-    (bit_count of xor, JVM-side) <= k. ``group_col`` scopes buckets per group."""
-    from pyspark.sql import Window
-
-    extras = [group_col] if group_col else []
+    (bit_count of xor, JVM-side) <= k — applied uniformly to full pairs, star
+    edges (vs the group-min's simhash), and salted sub-bucket pairs.
+    ``group_col`` scopes buckets per group."""
+    extras = (group_col,) if group_col else ()
     pieces = signatures.select(
         F.col(id_col).alias("id"),
         *extras,
@@ -180,37 +252,22 @@ def simhash_candidates(
         F.col("pk.piece").alias("piece"), F.col("pk.pv").alias("pv"),
     )
 
-    keys = [*extras, "piece", "pv"]
-    w = Window.partitionBy(*keys)
-    annotated = (
-        pieces.withColumn("_n", F.count("*").over(w))
-        .withColumn("_min_id", F.min("id").over(w))
-        .where(F.col("_n") >= 2)
-    )
+    def hamming_gate(pairs: DataFrame) -> DataFrame:
+        return pairs.where(
+            F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
+            <= cfg.hamming_k
+        )
 
-    small = annotated.where(F.col("_n") <= cfg.max_band_group)
-    left = small.select(*keys, F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
-    right = small.select(*keys, F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
-    small_pairs = (
-        left.join(right, keys)
-        .where(F.col("id_a") < F.col("id_b"))
-        .where(F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))) <= cfg.hamming_k)
-        .select("id_a", "id_b")
+    return bucket_candidates(
+        pieces,
+        "id",
+        (*extras, "piece", "pv"),
+        max_group=cfg.max_band_group,
+        dedup=dedup,
+        carry_cols=("simhash",),
+        pair_filter=hamming_gate,
+        salt_cap=cfg.salt_buckets,
     )
-
-    # hot pieces: star edges to group min, Hamming-filtered against the min's simhash
-    min_sigs = annotated.where(F.col("_n") > cfg.max_band_group).where(
-        F.col("id") == F.col("_min_id")
-    ).select(*keys, F.col("simhash").alias("sh_min"))
-    big_pairs = (
-        annotated.where(F.col("_n") > cfg.max_band_group)
-        .where(F.col("id") != F.col("_min_id"))
-        .join(min_sigs, keys)
-        .where(F.bit_count(F.col("simhash").bitwiseXOR(F.col("sh_min"))) <= cfg.hamming_k)
-        .select(F.col("_min_id").alias("id_a"), F.col("id").alias("id_b"))
-    )
-
-    return canonical_pairs(small_pairs.unionByName(big_pairs), dedup=dedup)
 
 
 def all_pairs(docs: DataFrame, id_col: str = "url") -> DataFrame:

@@ -52,13 +52,25 @@ def score_pairs(
     id_col: str = "url",
     prefilter_margin: float = 0.15,
     evidence: str = "both",
+    extra_scorers: dict | None = None,
+    extra_carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id_a, id_b) -> scored pairs.
 
-    Output columns: id_a, id_b, est_jaccard, hamming, jaccard, containment.
+    Output columns: id_a, id_b, est_jaccard, hamming, jaccard, containment
+    (+ one column per ``extra_scorers`` entry).
     ``jaccard``/``containment`` are exact iff the signature table carries the
     ``shingles`` column; the MinHash estimate pre-filters pairs more than
     ``prefilter_margin`` below the threshold so exact set ops run on survivors only.
+
+    ``extra_scorers`` is the pluggable per-pair scorer seam (the capability analog
+    of the reference's alternative classifiers, e.g.
+    ``src/NBAndXGBCountVectorClassifier.py:13-23``): a mapping
+    ``name -> callable(scored DataFrame) -> Column`` evaluated after the built-in
+    measures, each appended as an output column (usable as ``score_col`` in
+    ``retrieve_duplicates`` for re-ranking). ``extra_carry`` ships additional doc
+    columns to both pair sides as ``<col>_a``/``<col>_b`` for those scorers —
+    mind the shuffle volume, this rides the verify joins.
 
     ``evidence`` picks what the two verify joins ship per doc — the dominant
     shuffle volume of the whole pipeline:
@@ -74,7 +86,7 @@ def score_pairs(
         "both": ("minhash", "simhash", "n_shingles", "shingles"),
         "exact": ("simhash", "n_shingles", "shingles"),
         "estimate": ("minhash", "simhash", "n_shingles"),
-    }[evidence]
+    }[evidence] + tuple(extra_carry)
     a = _doc_side(signatures, id_col, "a", carry)
     b = _doc_side(signatures, id_col, "b", carry)
     scored = pairs.join(a, "id_a").join(b, "id_b")
@@ -140,8 +152,14 @@ def score_pairs(
     if "est_jaccard" not in scored.columns:  # evidence="exact": exact IS the estimate
         scored = scored.withColumn("est_jaccard", F.col("jaccard"))
 
+    extra_names = []
+    for name, scorer in (extra_scorers or {}).items():
+        scored = scored.withColumn(name, scorer(scored))
+        extra_names.append(name)
+
     return scored.select(
-        "id_a", "id_b", "est_jaccard", "hamming", "jaccard", "containment"
+        "id_a", "id_b", "est_jaccard", "hamming", "jaccard", "containment",
+        *extra_names,
     )
 
 

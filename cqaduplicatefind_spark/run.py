@@ -95,8 +95,16 @@ def main(argv: list[str] | None = None) -> int:
         sel.append(F.col(args.group_col).cast("string").alias("group"))
     pages = pages.select(*sel)
 
+    from cqaduplicatefind_spark.sources.warehouse import input_fingerprint_for
+
     warehouse = (
-        Warehouse(args.warehouse, cfg.fingerprint()) if args.warehouse else None
+        Warehouse(
+            args.warehouse,
+            cfg.fingerprint(),
+            input_fingerprint=input_fingerprint_for(pages, args.input),
+        )
+        if args.warehouse
+        else None
     )
     t0 = time.time()
     result = run_pipeline(

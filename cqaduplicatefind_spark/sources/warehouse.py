@@ -9,11 +9,15 @@ plain Parquet directories:
 - **atomic commit**: write to ``<table>.__tmp__``, then a single ``os.rename`` —
   readers never observe a half-written table (the reference's concurrent CSV append
   at ``src/archive/MyReader2.py:41-42`` is the racy anti-pattern this replaces);
-- **lineage**: every commit records a manifest (config fingerprint, upstream stage
-  fingerprints, row count, per-partition file rows) — the "per-partition lineage +
+- **lineage**: every commit records a manifest (config fingerprint, input
+  fingerprint, row count, per-partition file rows) — the "per-partition lineage +
   metrics" the north_rule requires;
 - **idempotent resume**: a stage is skipped iff a committed manifest exists whose
-  config fingerprint matches; a changed config invalidates downstream stages.
+  config fingerprint AND input fingerprint both match; a changed config — or the
+  same warehouse pointed at different input data — invalidates every stage
+  instead of silently resuming from stale checkpoints of the old input. (On
+  Iceberg the input fingerprint is the source table's snapshot id; here it is
+  derived from the input's file listing.)
 
 Swapping in Iceberg is confined to this module: commit -> ``writeTo().append()``,
 manifest -> snapshot summary properties, resume -> snapshot existence check.
@@ -31,16 +35,35 @@ from pyspark.sql import DataFrame, SparkSession
 _MANIFEST = "_manifest.json"
 
 
+def input_fingerprint_for(df: DataFrame, label: str = "") -> str:
+    """Fingerprint of a DataFrame's input data for resume-safety: the sorted file
+    listing (name + size + mtime where stat-able) plus a caller label. The Iceberg
+    analog is the source snapshot id; content hashing would force a full scan."""
+    import hashlib
+
+    entries = []
+    for uri in sorted(df.inputFiles()):
+        path = uri[len("file:"):] if uri.startswith("file:") else uri
+        try:
+            st = os.stat(path)
+            entries.append(f"{uri}:{st.st_size}:{st.st_mtime_ns}")
+        except OSError:
+            entries.append(uri)
+    blob = json.dumps({"label": label, "files": entries}).encode("utf-8")
+    return hashlib.sha256(blob).hexdigest()[:16]
+
+
 @dataclass
 class Warehouse:
     root: str
     config_fingerprint: str
+    input_fingerprint: str = ""
 
     def _dir(self, table: str) -> str:
         return os.path.join(self.root, table)
 
     def exists(self, table: str) -> bool:
-        """Committed with a matching config fingerprint?"""
+        """Committed with matching config AND input fingerprints?"""
         mpath = os.path.join(self._dir(table), _MANIFEST)
         if not os.path.exists(mpath):
             return False
@@ -49,7 +72,9 @@ class Warehouse:
                 manifest = json.load(f)
         except (OSError, json.JSONDecodeError):
             return False
-        return manifest.get("config_fingerprint") == self.config_fingerprint
+        return manifest.get("config_fingerprint") == self.config_fingerprint and (
+            manifest.get("input_fingerprint", "") == self.input_fingerprint
+        )
 
     def write(self, df: DataFrame, table: str, extra_meta: dict | None = None) -> dict:
         """Atomic checkpoint: parquet to tmp dir, manifest, rename into place."""
@@ -76,6 +101,7 @@ class Warehouse:
         manifest = {
             "table": table,
             "config_fingerprint": self.config_fingerprint,
+            "input_fingerprint": self.input_fingerprint,
             "row_count": int(sum(v for v in part_rows.values() if v) or 0),
             "partitions": part_rows,
             **(extra_meta or {}),

@@ -184,3 +184,56 @@ def test_retrieval_on_fixture_finds_gold(spark, tiny_fixture, cfg):
     # every gold dup should be retrieved in top-10 on the fixture (clusters < 10)
     assert m.p_at_k > 0
     assert m.map >= 0.99, m.asDict()
+
+
+# ---------- pluggable per-pair scorer seam ----------
+
+def test_extra_scorer_reranks_retrieval(spark, cfg):
+    """Registering a custom scorer through score_pairs (the reference's
+    'alternative classifier' capability, src/NBAndXGBCountVectorClassifier.py)
+    must add a score column usable as the ranking key in retrieve_duplicates."""
+    from cqaduplicatefind_spark.operators.verify import score_pairs
+    from cqaduplicatefind_spark.plans.pipeline import normalize_stage, signature_stage
+
+    pages = spark.createDataFrame(
+        [
+            ("q", "alpha beta gamma delta epsilon zeta eta theta"),
+            # c1: high Jaccard with q (near-identical)
+            ("c1", "alpha beta gamma delta epsilon zeta eta iota"),
+            # c2: lower Jaccard but much closer in length to q's doubled variant
+            ("c2", "alpha beta gamma delta epsilon zeta kappa lambda"),
+        ],
+        "url string, text string",
+    )
+    sigs = signature_stage(normalize_stage(pages, cfg), cfg)
+    pairs = spark.createDataFrame(
+        [("c1", "q"), ("c2", "q")], "id_a string, id_b string"
+    )
+
+    def length_balance(df):
+        lo = F.least("n_shingles_a", "n_shingles_b").cast("double")
+        hi = F.greatest("n_shingles_a", "n_shingles_b").cast("double")
+        return F.when(hi > 0, lo / hi).otherwise(F.lit(0.0))
+
+    def inverted(df):
+        return 1.0 - F.col("jaccard")
+
+    scored = score_pairs(
+        pairs, sigs, cfg, prefilter_margin=1.0,
+        extra_scorers={"length_balance": length_balance, "inv_score": inverted},
+    )
+    rows = {(r["id_a"], r["id_b"]): r.asDict() for r in scored.collect()}
+    assert all("length_balance" in r and "inv_score" in r for r in rows.values())
+    for r in rows.values():
+        assert abs(r["inv_score"] - (1.0 - r["jaccard"])) < 1e-9
+
+    from cqaduplicatefind_spark.operators.topk import retrieve_duplicates
+
+    by_jaccard = retrieve_duplicates(scored, k=2, score_col="jaccard")
+    by_inverted = retrieve_duplicates(scored, k=2, score_col="inv_score")
+    top_j = {r["query_id"]: r["candidate_id"]
+             for r in by_jaccard.where(F.col("rank") == 1).collect()}
+    top_i = {r["query_id"]: r["candidate_id"]
+             for r in by_inverted.where(F.col("rank") == 1).collect()}
+    assert top_j["q"] == "c1"          # exact Jaccard ranks the near-identical doc first
+    assert top_i["q"] == "c2"          # custom scorer inverts the ranking

@@ -25,8 +25,11 @@ def _cfg(**kw):
 
 def test_hot_band_emits_linear_pairs_not_quadratic(spark):
     """500 byte-identical docs collide in EVERY band and every simhash piece.
-    Full pairing would emit C(500,2)=124_750 pairs per bucket; the star cap must
-    keep total candidate pairs O(m)."""
+    Full pairing would emit C(500,2)=124_750 distinct pairs; the star cap +
+    salted sub-buckets must keep total candidate pairs O(m): per bucket
+    membership a member pays at most (max_band_group - 1) sub-bucket
+    comparisons + 1 star edge, so distinct pairs <= m * (bands + pieces)
+    * max_band_group."""
     m = 500
     text = "the same boilerplate template page body " + " ".join(
         f"tok{j}" for j in range(30)
@@ -34,15 +37,14 @@ def test_hot_band_emits_linear_pairs_not_quadratic(spark):
     pages = spark.createDataFrame(
         [(f"u{i:04d}", text) for i in range(m)], "url string, text string"
     )
-    cfg = _cfg(max_band_group=8)
+    cfg = _cfg(max_band_group=4)
     sigs = signature_stage(normalize_stage(pages, cfg), cfg).persist()
     try:
         pairs = candidate_stage(sigs, cfg)
         n_pairs = pairs.count()
-        # star edges: every non-min member links to the bucket min, per source;
-        # after pair-dedup that's m-1 (+ nothing else: all buckets are the same
-        # hot group). Allow slack for the simhash source's own star set.
-        assert n_pairs < 3 * m, f"pair blowup: {n_pairs} pairs for {m} docs"
+        n_buckets = cfg.bands + cfg.hamming_k + 1  # 16 bands + 4 simhash pieces
+        bound = m * n_buckets * cfg.max_band_group  # 40_000 << C(500,2)=124_750
+        assert n_pairs < bound, f"pair blowup: {n_pairs} pairs for {m} docs"
 
         # connectivity preserved: verify + CC still put ALL m docs in ONE cluster
         result = run_pipeline(spark, pages, cfg)
@@ -51,6 +53,65 @@ def test_hot_band_emits_linear_pairs_not_quadratic(spark):
         result.signatures.unpersist()
     finally:
         sigs.unpersist()
+
+
+def test_hot_bucket_emits_member_member_pairs_via_salted_sub_buckets(spark):
+    """A heterogeneous hot bucket (one bucket key, 64 members > max_group=8) must
+    emit pairs BETWEEN non-min members — star edges alone lose a true dup pair
+    whose (min, member) edges fail exact verify. Structure checks: every pair is
+    a star edge or lies within one salted sub-bucket, and volume stays linear."""
+    from cqaduplicatefind_spark.operators.candidates import bucket_candidates
+
+    m, max_group = 64, 8
+    buckets = spark.createDataFrame(
+        [(f"u{i:02d}", "B") for i in range(m)], "id string, bucket string"
+    )
+    pairs = bucket_candidates(
+        buckets, "id", ("bucket",), max_group=max_group, salt_cap=8
+    ).collect()
+    min_id = "u00"
+    member_member = [(a, b) for a, b in pairs if a != min_id and b != min_id]
+    # pigeonhole: 64 ids into ceil(64/8)=8 sub-buckets -> some sub-bucket has >= 2
+    assert member_member, "no member-member pairs emitted from the hot bucket"
+    # linear volume: stars (m-1) + sub-bucket full pairs (expected size 8)
+    assert len(pairs) <= (m - 1) + m * max_group
+    # every non-star pair must come from one salt sub-bucket: reproduce the salt
+    salted = (
+        buckets.select(
+            "id",
+            F.pmod(
+                F.xxhash64(F.col("id"), F.col("bucket"), F.lit(17)),
+                F.lit(m // max_group),
+            ).alias("salt"),
+        )
+        .collect()
+    )
+    salt_of = {r["id"]: r["salt"] for r in salted}
+    for a, b in member_member:
+        assert salt_of[a] == salt_of[b], f"pair ({a},{b}) crosses sub-buckets"
+
+
+def test_heterogeneous_hot_bucket_true_pairs_cluster_correctly(spark):
+    """A boilerplate template family (every doc shares a long shell, so LSH bands
+    driven by shell shingles go hot) containing 25 true duplicate couples whose
+    similarity to the family min is BELOW threshold: the pipeline must pair each
+    couple in its own cluster — neither one mega-cluster (stars must fail verify)
+    nor all-singletons (the couple's pairs must survive the hot-bucket cap)."""
+    shell = " ".join(f"boiler{j} frame{j}" for j in range(40))
+    rows = []
+    for i in range(25):
+        unique = " ".join(f"payload{i}w{j} item{i}x{j}" for j in range(40))
+        rows.append((f"a{i:02d}", f"{shell} {unique}"))
+        rows.append((f"b{i:02d}", f"{shell} {unique}"))
+    pages = spark.createDataFrame(rows, "url string, text string")
+    cfg = _cfg(max_band_group=4, jaccard_threshold=0.9)
+    result = run_pipeline(spark, pages, cfg)
+    clusters = {r["url"]: r["cluster_id"] for r in result.clusters.collect()}
+    for i in range(25):
+        assert clusters[f"a{i:02d}"] == clusters[f"b{i:02d}"], f"couple {i} split"
+    assert len(set(clusters.values())) == 25, (
+        f"expected 25 couple-clusters, got {len(set(clusters.values()))}"
+    )
 
 
 def test_short_docs_never_link_via_sentinel_signatures(spark):

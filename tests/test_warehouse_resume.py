@@ -84,6 +84,40 @@ def test_resume_does_not_recompute_upstream(spark, tiny_fixture, cfg, tmp_path):
     assert mtime_before == mtime_after  # signatures untouched by the resume
 
 
+def test_input_change_invalidates(spark, tmp_path):
+    """Re-running against DIFFERENT input data with the same warehouse + config
+    must recompute, not resume from the old input's checkpoints."""
+    from cqaduplicatefind_spark.sources.warehouse import input_fingerprint_for
+
+    in_a = str(tmp_path / "in_a")
+    in_b = str(tmp_path / "in_b")
+    spark.range(10).write.parquet(in_a)
+    spark.range(20).write.parquet(in_b)
+    fp_a = input_fingerprint_for(spark.read.parquet(in_a), in_a)
+    fp_b = input_fingerprint_for(spark.read.parquet(in_b), in_b)
+    assert fp_a != fp_b
+
+    w_a = Warehouse(str(tmp_path / "w"), "fp", input_fingerprint=fp_a)
+    w_b = Warehouse(str(tmp_path / "w"), "fp", input_fingerprint=fp_b)
+    w_a.write(spark.range(10).select("id"), "t")
+    assert w_a.exists("t")
+    assert not w_b.exists("t")  # same config, different input: stale table ignored
+
+
+def test_parallelism_change_does_not_invalidate_fingerprint():
+    """Execution-tuning knobs (shuffle width) are not duplicate semantics: a
+    resume after changing parallelism must reuse checkpoints; changing any
+    semantic knob must not."""
+    base = DedupConfig()
+    assert (
+        DedupConfig(shuffle_partitions=256, signature_partitions=256).fingerprint()
+        == base.fingerprint()
+    )
+    assert DedupConfig(shingle_k=7).fingerprint() != base.fingerprint()
+    assert DedupConfig(jaccard_threshold=0.9).fingerprint() != base.fingerprint()
+    assert DedupConfig(salt_buckets=0).fingerprint() != base.fingerprint()
+
+
 def test_manifest_json_readable(spark, wh):
     wh.write(spark.range(7).select("id"), "m")
     d = wh.manifest("m")
