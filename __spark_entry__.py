@@ -30,8 +30,10 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def _doc_config() -> DedupConfig:
-    # documents are short (tens of tokens): 3-token shingles, verify at 0.7
-    return DedupConfig(shingle_k=3, jaccard_threshold=0.7)
+    # documents are short (tens of tokens): 3-token shingles, verify at 0.7,
+    # exact-span pass at 20 tokens (the Common-Crawl default of 50 would exceed
+    # most of these synthetic docs)
+    return DedupConfig(shingle_k=3, jaccard_threshold=0.7, min_overlap_span=20)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -362,10 +364,14 @@ def q_token_stats(spark, sf):
       WHERE len(string_split(text, ' ')) >= 3
     ),
     idx AS (SELECT doc_id, t, unnest(range(len(t) - 2)) AS i FROM toks),
-    grams AS (
+    allgrams AS (
       SELECT DISTINCT doc_id,
              array_to_string(list_slice(t, i + 1, i + 3), ' ') AS g
       FROM idx
+    ),
+    grams AS (  -- DF cap: ubiquitous grams carry no similarity signal
+      SELECT doc_id, g FROM allgrams
+      QUALIFY count(*) OVER (PARTITION BY g) <= 1000
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
     inter AS (
@@ -383,35 +389,10 @@ def q_token_stats(spark, sf):
     """,
 )
 def q_ngram_jaccard(spark, sf):
-    d = _read(spark, sf, "documents").select(
-        "doc_id", F.split("text", " ").alias("t")
-    ).where(F.size("t") >= 3)
-    grams = d.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size("t") - 3),
-                lambda i: F.concat_ws(" ", F.slice("t", i + 1, 3)),
-            )
-        ).alias("g"),
-    ).distinct()
-    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = grams.select(F.col("doc_id").alias("id_a"), "g")
-    b = grams.select(F.col("doc_id").alias("id_b"), "g")
-    inter = (
-        a.join(b, "g")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("c"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
-    j = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .where(j >= 0.5)
-        .select("id_a", "id_b", F.round(j, 6).alias("jaccard"))
+    from cqaduplicatefind_spark.operators.ngram import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _read(spark, sf, "documents"), n=3, min_jaccard=0.5, df_cap=1000
     )
 
 
@@ -530,11 +511,17 @@ def _lang_case_sql() -> str:
 
 @_register("lang_id_histogram", _lang_case_sql())
 def q_lang_id(spark, sf):
-    from cqaduplicatefind_spark.functions.text_stats import lang_id_expr
+    from cqaduplicatefind_spark.functions.text_stats import (
+        distinct_tokens_expr,
+        lang_id_from_tokens,
+    )
 
     d = _read(spark, sf, "documents")
+    # two-step projection: the distinct-token array is materialized once per row,
+    # then scored per language (inlining it evaluates split+distinct 4x)
     return (
-        d.select(lang_id_expr(F.col("text")).alias("detected_lang"))
+        d.select(distinct_tokens_expr(F.col("text")).alias("_toks"))
+        .select(lang_id_from_tokens(F.col("_toks")).alias("detected_lang"))
         .groupBy("detected_lang")
         .agg(F.count("*").alias("n"))
     )
@@ -546,10 +533,14 @@ _NGRAM_JACCARD_CTE = """
       WHERE len(string_split(text, ' ')) >= 3
     ),
     idx AS (SELECT doc_id, t, unnest(range(len(t) - 2)) AS i FROM toks),
-    grams AS (
+    allgrams AS (
       SELECT DISTINCT doc_id,
              array_to_string(list_slice(t, i + 1, i + 3), ' ') AS g
       FROM idx
+    ),
+    grams AS (
+      SELECT doc_id, g FROM allgrams
+      QUALIFY count(*) OVER (PARTITION BY g) <= 1000
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
     inter AS (
@@ -698,6 +689,62 @@ def q_overlap_spans(spark, sf):
 
 
 @_register(
+    "exact_span_pairs",
+    """
+    WITH toks AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id, string_split(text, ' ') AS t
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, t, unnest(range(len(t) - 14)) AS i
+      FROM toks WHERE len(t) >= 15
+    ),
+    sgrams AS (
+      SELECT DISTINCT doc_id, array_to_string(list_slice(t, i + 1, i + 15), ' ') AS g
+      FROM s
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sgrams a JOIN sgrams b USING (g) WHERE a.doc_id < b.doc_id
+    ),
+    pairdocs AS (SELECT id_a AS doc_id FROM cand UNION SELECT id_b FROM cand),
+    rtoks AS (SELECT t.doc_id, t.t FROM toks t JOIN pairdocs USING (doc_id)),
+    lens AS (SELECT doc_id, t, unnest(range(15, len(t) + 1)) AS l FROM rtoks),
+    starts AS (SELECT doc_id, l, t, unnest(range(len(t) - l + 1)) AS i FROM lens),
+    runs AS (
+      SELECT DISTINCT doc_id, l,
+             array_to_string(list_slice(t, i + 1, i + l), ' ') AS run
+      FROM starts
+    ),
+    spans AS (
+      SELECT c.id_a, c.id_b, max(ra.l) AS overlap_span
+      FROM cand c
+        JOIN runs ra ON ra.doc_id = c.id_a
+        JOIN runs rb ON rb.doc_id = c.id_b AND rb.l = ra.l AND rb.run = ra.run
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, CAST(overlap_span AS INTEGER) AS overlap_span
+    FROM spans
+    """,
+)
+def q_exact_span_pairs(spark, sf):
+    """Corpus-level suffix-array-analog pass (north_star): ALL pairs sharing an
+    exact contiguous run >= 15 tokens, discovered by winnowing fingerprints (NOT
+    seeded by any Jaccard candidate set) and exactly verified. Oracle: brute-force
+    15-gram self-join + all-lengths span maximization in DuckDB."""
+    from cqaduplicatefind_spark.operators.overlap import exact_span_edges
+
+    docs = _read(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.col("text").alias("norm_text"),
+    )
+    c = DedupConfig(min_overlap_span=15, shuffle_partitions=32)
+    return exact_span_edges(docs, c).select(
+        "id_a", "id_b", F.col("overlap_span").cast("int").alias("overlap_span")
+    )
+
+
+@_register(
     "latest_event_per_user",
     """
     SELECT user_id, event_id, ts, event_type
@@ -808,6 +855,86 @@ def q_ann_topk(spark, sf):
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 5)
         .select("qid", "cand", "cosine", "rank")
+    )
+
+
+@_register("qa_dumps_end_to_end", None)
+def q_qa_dumps_end_to_end(spark, sf):
+    """The reference's full lifecycle on reference-SHAPED data (SURVEY §3.2):
+    documents recast as per-forum orient='index' question dumps (title = first 8
+    tokens, body = rest, gold ``dups`` = 3-gram-Jaccard>=0.95 partners), written
+    as JSON dump files, ingested via read_question_dumps, run through
+    strip_tags -> normalize -> grouped dedup pipeline -> ranked retrieval ->
+    P@10/MAP. Output: one metrics row (rows-only driver check; the hand-computed
+    parity lives in tests/test_qa_end_to_end.py)."""
+    import hashlib
+    import json
+    import os
+
+    from cqaduplicatefind_spark.operators.metrics import ranked_retrieval_metrics
+    from cqaduplicatefind_spark.operators.ngram import ngram_jaccard_pairs
+    from cqaduplicatefind_spark.operators.pairs import gold_edges_from_dups
+    from cqaduplicatefind_spark.operators.topk import symmetrize_scored
+    from cqaduplicatefind_spark.plans.pipeline import (
+        retrieval_scored_pairs,
+        run_pipeline,
+    )
+    from cqaduplicatefind_spark.sources.qa_dumps import read_question_dumps
+
+    docs = _read(spark, sf, "documents")
+    # gold dups must be WITHIN-forum (CQADupStack dups never cross forums, and
+    # the grouped pipeline scopes candidates per forum by design)
+    src = docs.select(F.col("doc_id").cast("string").alias("qid"), "source")
+    jac = ngram_jaccard_pairs(docs, 3, min_jaccard=0.95).select(
+        F.col("id_a").cast("string").alias("id_a"),
+        F.col("id_b").cast("string").alias("id_b"),
+    )
+    same_forum = (
+        jac.join(src.withColumnsRenamed({"qid": "id_a", "source": "sa"}), "id_a")
+        .join(src.withColumnsRenamed({"qid": "id_b", "source": "sb"}), "id_b")
+        .where(F.col("sa") == F.col("sb"))
+    )
+    gold_pairs = [(r["id_a"], r["id_b"]) for r in same_forum.collect()]
+    dups: dict[str, list[str]] = {}
+    for a, b in gold_pairs:
+        dups.setdefault(a, []).append(b)
+        dups.setdefault(b, []).append(a)
+
+    # deterministic dump files per (sf, content): safe across re-runs
+    key = hashlib.sha256(f"{sf}|{sorted(gold_pairs)}".encode()).hexdigest()[:12]
+    dump_dir = f"/tmp/qa_dumps_{key}"
+    if not os.path.exists(dump_dir):
+        os.makedirs(dump_dir, exist_ok=True)
+        by_forum: dict[str, dict] = {}
+        for r in docs.select("doc_id", "text", "source").collect():
+            qid = str(r["doc_id"])
+            toks = r["text"].split(" ")
+            by_forum.setdefault(r["source"], {})[qid] = {
+                "title": " ".join(toks[:8]),
+                "body": " ".join(toks[8:]),
+                "dups": sorted(dups.get(qid, [])),
+            }
+        for forum, questions in by_forum.items():
+            with open(os.path.join(dump_dir, f"{forum}.json"), "w") as f:
+                json.dump(questions, f, sort_keys=True)
+
+    questions = read_question_dumps(spark, f"{dump_dir}/*.json")
+    cfg = _doc_config()
+    pages = questions.select(
+        F.col("question_id").alias("url"),
+        F.concat_ws(" ", "title", "body").alias("html"),
+        F.lit("").alias("text"),
+        "forum",
+    )
+    result = run_pipeline(spark, pages, cfg, use_html=True, group_col="forum")
+    gold = gold_edges_from_dups(questions, id_col="question_id", dups_col="dups")
+    ranked = symmetrize_scored(retrieval_scored_pairs(result, cfg), "jaccard")
+    m = ranked_retrieval_metrics(ranked, gold, k=cfg.top_k)
+    return m.select(
+        F.col("n_queries").cast("long").alias("n_queries"),
+        F.col("found_at_k").cast("long").alias("found_at_k"),
+        F.round("p_at_k", 6).alias("p_at_k"),
+        F.round("map", 6).alias("map"),
     )
 
 

@@ -100,16 +100,28 @@ def bench_pipeline(spark, sf_dir: str) -> dict[str, float]:
     times["lsh_candidates"] = min(t1, t2)
     signatures.unpersist()
 
-    # run_pipeline executes the CC driver loop eagerly, so time the whole call
-    def _full():
-        result = bench_pipeline._last = run_pipeline(spark, pages, cfg)
-        n = result.clusters.count()
-        result.signatures.unpersist()
-        return n
+    # run_pipeline executes the CC driver loop eagerly, so time the whole call.
+    # Two flavors: without the exact-span pass (comparable to the round-1
+    # baseline) and the complete flagship including winnowing span discovery.
+    def _full(c):
+        def run():
+            result = bench_pipeline._last = run_pipeline(spark, pages, c)
+            n = result.clusters.count()
+            result.signatures.unpersist()
+            if result.edges.is_cached:
+                result.edges.unpersist()
+            return n
 
-    t1, _ = _timed(_full)
-    t2, _ = _timed(_full)
+        return run
+
+    from dataclasses import replace
+
+    t1, _ = _timed(_full(replace(cfg, span_pass=False)))
+    t2, _ = _timed(_full(replace(cfg, span_pass=False)))
     times["full_pipeline"] = min(t1, t2)
+    t1, _ = _timed(_full(cfg))
+    t2, _ = _timed(_full(cfg))
+    times["full_pipeline_with_span"] = min(t1, t2)
     times["_n_docs"] = n_docs
 
     pages.unpersist()

@@ -44,6 +44,11 @@ class DedupConfig:
     # --- verification ---
     jaccard_threshold: float = 0.8   # exact-verify cutoff for an edge
     min_overlap_span: int = 50       # tokens: exact-span pass (substring containment)
+    # corpus-level winnowing-fingerprint pass: discovers pairs sharing an exact
+    # contiguous run >= min_overlap_span tokens even when their Jaccard is far
+    # below the LSH collision curve (page embedded in a boilerplate shell), each
+    # pair exactly verified; edges union into clustering
+    span_pass: bool = True
     # what the verify joins ship per doc (the pipeline's dominant shuffle volume):
     # "exact" (shingle sets only; every candidate exactly verified — right for the
     # recall>=0.99 gate and short docs), "estimate" (fixed-width minhash only;

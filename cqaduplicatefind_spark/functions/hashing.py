@@ -120,6 +120,62 @@ def _shingle_mult(j: int) -> np.uint64:
     return splitmix64(np.uint64(j) * _SM_GAMMA % _MASK64) | _U64(1)
 
 
+# polynomial rolling-hash base (odd -> invertible mod 2^64) and its inverse,
+# used for O(1)-per-window content hashes (span search, winnowing): with
+# T[k] = sum_{j<k} v[j] * Binv^j and Bpow[i] = B^i, the position-independent
+# hash of window [i, i+L) is (T[i+L] - T[i]) * Bpow[i] — two vector ops for ALL
+# windows of a length at once, vs the O(n*L) per-length shingle combination.
+_POLY_B = 0x9E3779B97F4A7C15  # odd
+
+
+def _inv_u64(a: int) -> int:
+    """Modular inverse of an odd a mod 2^64 (Newton-Hensel iteration)."""
+    x = a
+    for _ in range(6):
+        x = (x * (2 - a * x)) & 0xFFFFFFFFFFFFFFFF
+    return x
+
+
+_POLY_BINV = _inv_u64(_POLY_B)
+
+
+class RollingHash:
+    """Precomputed prefix state for O(1)-per-window polynomial hashes of a uint64
+    token-hash array. Window hashes are position-independent: equal token runs
+    yield equal hashes at any offset in any document."""
+
+    def __init__(self, v: np.ndarray) -> None:
+        n = len(v)
+        self.n = n
+        if n == 0:
+            self._t = np.zeros(1, dtype=np.uint64)
+            self._bpow = np.ones(1, dtype=np.uint64)
+            return
+        with np.errstate(over="ignore"):
+            binv_pows = np.ones(n, dtype=np.uint64)
+            if n > 1:
+                binv_pows[1:] = _U64(_POLY_BINV)
+                np.cumprod(binv_pows, out=binv_pows)
+            t = np.empty(n + 1, dtype=np.uint64)
+            t[0] = 0
+            np.cumsum(v * binv_pows, out=t[1:])
+            bpow = np.ones(n + 1, dtype=np.uint64)
+            bpow[1:] = _U64(_POLY_B)
+            np.cumprod(bpow, out=bpow)
+        self._t = t
+        self._bpow = bpow
+
+    def windows(self, length: int) -> np.ndarray:
+        """Hashes of every contiguous window of ``length`` tokens (empty when the
+        document is shorter)."""
+        n = self.n
+        if length <= 0 or length > n:
+            return np.empty(0, dtype=np.uint64)
+        t = self._t
+        with np.errstate(over="ignore"):
+            return (t[length:] - t[: n - length + 1]) * self._bpow[: n - length + 1]
+
+
 def perm_seeds(num_perms: int, seed: int) -> np.ndarray:
     """Deterministic per-permutation seeds for the MinHash family."""
     base = np.arange(num_perms, dtype=np.uint64) + _U64(seed & 0xFFFFFFFFFFFFFFFF)

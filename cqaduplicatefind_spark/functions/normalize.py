@@ -64,18 +64,28 @@ def review_to_wordlist(review: str, remove_stopwords: bool = True) -> str:
 
 # process-level memo: dedup corpora are full of byte-identical texts (that's the
 # workload); re-normalizing each copy wastes the whole regex+stem pipeline.
-_NORM_MEMO: dict[str, str] = {}
-_NORM_MEMO_MAX = 200_000
+# Keys are 16-byte blake2b digests of the raw text — NOT the text itself — and the
+# memo is bounded by total stored bytes, not entry count: multi-KB web pages would
+# otherwise pin gigabytes per Python worker (200k entries x pages of tens of KB).
+_NORM_MEMO: dict[bytes, str] = {}
+_NORM_MEMO_BYTE_BUDGET = 64 * 1024 * 1024  # per worker process
+_NORM_MEMO_BYTES = 0
 
 
 def _normalize_memo(v: str | None) -> str | None:
+    global _NORM_MEMO_BYTES
     if v is None:
         return None
-    out = _NORM_MEMO.get(v)
+    import hashlib
+
+    key = hashlib.blake2b(v.encode("utf-8"), digest_size=16).digest()
+    out = _NORM_MEMO.get(key)
     if out is None:
         out = review_to_wordlist(v)
-        if len(_NORM_MEMO) < _NORM_MEMO_MAX:
-            _NORM_MEMO[v] = out
+        cost = len(out) + 64  # stored value + key/dict overhead estimate
+        if _NORM_MEMO_BYTES + cost <= _NORM_MEMO_BYTE_BUDGET:
+            _NORM_MEMO[key] = out
+            _NORM_MEMO_BYTES += cost
     return out
 
 

@@ -36,17 +36,21 @@ def word_token_count(col) -> Column:
     return F.regexp_count(col, F.lit(r"[\p{L}]+|[0-9]+|[^\p{L}0-9\s]"))
 
 
-def lang_id_expr(text_col) -> Column:
-    """Heuristic language ID: language with the highest marker-word hit count,
-    'und' (undetermined) when nothing matches."""
-    toks = F.transform(F.split(F.lower(text_col), r"\s+"), lambda t: t)
+def distinct_tokens_expr(text_col) -> Column:
+    """Distinct lowercase whitespace tokens — project this ONCE and feed
+    ``lang_id_from_tokens``: inlining it per language makes Catalyst evaluate the
+    split+distinct four times (it was the slowest scalar query in the bench)."""
+    return F.array_distinct(F.split(F.lower(text_col), r"\s+"))
+
+
+def lang_id_from_tokens(toks_col) -> Column:
+    """Language with the highest marker-word hit count over a pre-computed
+    distinct-token array; 'und' (undetermined) when nothing matches."""
     scores = [
         (
             lang,
             F.size(
-                F.array_intersect(
-                    F.array_distinct(toks), F.array(*[F.lit(w) for w in markers])
-                )
+                F.array_intersect(toks_col, F.array(*[F.lit(w) for w in markers]))
             ),
         )
         for lang, markers in LANG_MARKERS.items()
@@ -57,6 +61,13 @@ def lang_id_expr(text_col) -> Column:
     for lang, s in reversed(scores):
         pick = F.when((s == best_score) & (best_score > 0), F.lit(lang)).otherwise(pick)
     return pick
+
+
+def lang_id_expr(text_col) -> Column:
+    """Single-expression heuristic language ID (compatibility form). Prefer
+    projecting ``distinct_tokens_expr`` first and applying ``lang_id_from_tokens``
+    so the token array is computed once per row."""
+    return lang_id_from_tokens(distinct_tokens_expr(text_col))
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:

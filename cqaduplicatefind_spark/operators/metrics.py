@@ -49,13 +49,25 @@ def pair_recall(predicted: DataFrame, gold: DataFrame) -> DataFrame:
     )
 
 
-def clusters_to_pairs(assignments: DataFrame) -> DataFrame:
+def clusters_to_pairs(
+    assignments: DataFrame, max_cluster_size: int = 256
+) -> DataFrame:
     """(url, cluster_id) -> implied duplicate pairs (transitive closure of the
-    assignment). Self-join on cluster_id; cluster sizes are small by construction so
-    the join is benign; a size guard would go here if clusters could be huge."""
-    a = assignments.select(F.col("cluster_id").alias("c"), F.col("url").alias("id_a"))
-    b = assignments.select(F.col("cluster_id").alias("c"), F.col("url").alias("id_b"))
-    return a.join(b, "c").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+    assignment), SIZE-GUARDED: clusters up to ``max_cluster_size`` members emit
+    the full C(m,2) closure; larger ones (star-edge chains deliberately build huge
+    template clusters — at web scale a 10^6-member cluster would otherwise emit
+    5*10^11 rows) emit O(m) star pairs to the cluster representative plus salted
+    sub-group pairs. Reuses the skew-capped bucket-pairing kernel; the cluster id
+    IS the min member url, so star pairs target the representative."""
+    from cqaduplicatefind_spark.operators.candidates import bucket_candidates
+
+    return bucket_candidates(
+        assignments,
+        id_col="url",
+        key_cols=("cluster_id",),
+        max_group=max_cluster_size,
+        salt_cap=2,
+    )
 
 
 def cluster_exact_match(predicted: DataFrame, gold: DataFrame) -> bool:

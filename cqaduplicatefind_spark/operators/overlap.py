@@ -1,22 +1,36 @@
-"""Exact overlapping-span pass over candidate pairs.
+"""Exact overlapping-span pass — the north_star's "suffix-array substring pass for
+exact overlapping spans", in two parts:
 
-The north_star's "suffix-array substring pass for exact overlapping spans": for each
-candidate pair, the length (in tokens) of the longest exactly-shared contiguous token
-run. Catches substring containment (one page embedded in another's boilerplate
-shell) that set-based Jaccard underestimates — the capability analog of the
-reference's exact token-overlap "leaks" features
+1. **Corpus-level candidate discovery** (``span_candidates``): which pairs of
+   documents share ANY exact contiguous token run of length >= ``min_overlap_span``
+   — including pairs whose set-Jaccard sits far below the LSH collision curve (a
+   page embedded in a boilerplate shell), which MinHash/SimHash candidate
+   generation never surfaces. Implemented with **winnowing fingerprints**
+   (Schleimer, Wilkerson, Aiken: "Winnowing: Local Algorithms for Document
+   Fingerprinting", SIGMOD 2003): rolling L-gram hashes, keep each w-window's
+   minimum; any two documents sharing a run of >= L + w - 1 tokens are GUARANTEED
+   to share a fingerprint. Fingerprints explode JVM-side into a bucket equi-join
+   (same skew-capped kernel as the LSH bands), so the corpus-level "suffix array"
+   is one groupBy — the Spark-native equivalent of the suffix-array scan over the
+   concatenated corpus (Lee et al. 2021 use a suffix array for the same
+   repeated-substring discovery; an equi-join on winnowed grams is the
+   shuffle-friendly formulation).
+
+2. **Exact verification** (``overlap_spans``): for each candidate pair, the exact
+   length of the longest shared contiguous token run. A classical suffix array
+   per concatenated pair would be per-pair O(n log n) Python; instead we
+   binary-search the span length with vectorized rolling window hashes (the same
+   order-sensitive k-window hash kernel the shingler uses — numpy, no per-token
+   Python). Equivalent answer (window-hash collisions are ~2^-64), ~10x less
+   constant cost, and every batch stays Arrow-sized.
+
+The capability analog in the reference is the exact token-overlap "leaks" features
 (``/root/reference/src/lstm-siamese/inputHandler.py:97-98``).
 
-Implementation note (Spark-first): a classical suffix array per concatenated pair
-would be per-pair O(n log n) Python; instead we binary-search the span length with
-vectorized rolling window hashes (the same order-sensitive k-window hash kernel the
-shingler uses — numpy, no per-token Python). Equivalent answer (window-hash
-collisions are ~2^-64), ~10x less constant cost, and every batch stays Arrow-sized.
-This is the documented fallback in SURVEY.md §7.3 chosen as primary for scale.
-
-Dataflow: pairs join normalized docs on each side (two id-key shuffles — same shape
-as verify), then ``applyInPandas``-free ``mapInPandas`` computes spans per Arrow
-batch.
+Dataflow: fingerprints are a narrow pandas-UDF map + explode; candidates shuffle
+once on the fingerprint key; verification joins normalized docs on each pair side
+(two id-key shuffles — same shape as verify), then ``mapInPandas`` computes spans
+per Arrow batch.
 """
 
 from __future__ import annotations
@@ -26,24 +40,42 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import ArrayType, LongType
 
-from cqaduplicatefind_spark.functions.hashing import TokenHasher, shingle_hashes
+from cqaduplicatefind_spark.config import DedupConfig
+from cqaduplicatefind_spark.functions.hashing import RollingHash, TokenHasher
 
 
 def longest_common_span(a: np.ndarray, b: np.ndarray) -> int:
     """Longest L with an exactly-equal contiguous L-token window in both arrays.
-    Binary search over L; window membership via vectorized rolling hashes."""
-    lo, hi = 0, min(len(a), len(b))
-    if hi == 0:
+
+    Fast paths first: the longest common prefix/suffix lower-bounds L (and
+    settles the dominant dedup case — one doc extends the other — in one
+    vectorized compare). Then binary search over L with O(1)-per-window
+    polynomial prefix hashes: each probe is two vector ops + a set intersect,
+    independent of L (the previous O(n*L) shingle recombination per probe made
+    span verification the pipeline's slowest stage)."""
+    m = min(len(a), len(b))
+    if m == 0:
         return 0
+    # longest common prefix / suffix as a lower bound
+    eq = a[:m] == b[:m]
+    lcp = int(m if eq.all() else np.argmin(eq))
+    eqs = a[len(a) - m:][::-1] == b[len(b) - m:][::-1]
+    lcs = int(m if eqs.all() else np.argmin(eqs))
+    lo = max(lcp, lcs)
+    if lo == m:
+        return m
+
+    ra, rb = RollingHash(a), RollingHash(b)
 
     def has_common(L: int) -> bool:
-        ha = shingle_hashes(a, L) if len(a) >= L else np.empty(0, np.uint64)
-        hb = shingle_hashes(b, L) if len(b) >= L else np.empty(0, np.uint64)
+        ha, hb = ra.windows(L), rb.windows(L)
         if len(ha) == 0 or len(hb) == 0:
             return False
         return bool(np.intersect1d(ha, hb, assume_unique=False).size)
 
+    hi = m
     while lo < hi:
         mid = (lo + hi + 1) // 2
         if has_common(mid):
@@ -89,6 +121,113 @@ def overlap_spans(
     return joined.mapInPandas(
         compute, "id_a string, id_b string, overlap_span int"
     )
+
+
+def winnow_params(min_span: int) -> tuple[int, int]:
+    """(gram length L, winnow window w) with L + w - 1 = min_span: any shared run
+    of >= min_span tokens shares a winnowed fingerprint. L ~= 0.8*min_span keeps
+    fingerprint density ~= 2/(w+1) ~= 10/min_span per token position."""
+    gram = max(2, (min_span * 4) // 5)
+    window = max(1, min_span - gram + 1)
+    return gram, window
+
+
+def winnow_kernel(tok_hashes: np.ndarray, gram: int, window: int) -> np.ndarray:
+    """Distinct winnowed fingerprints (int64 views) of one doc's token hashes.
+    L-gram hashes come from the O(1)-per-window rolling scheme — O(n) per doc
+    instead of O(n*L)."""
+    g = RollingHash(tok_hashes).windows(gram)
+    if len(g) == 0:
+        return np.empty(0, dtype=np.int64)
+    if len(g) <= window:
+        return np.unique(g.min(keepdims=True)).view(np.int64)
+    wins = np.lib.stride_tricks.sliding_window_view(g, window)
+    return np.unique(wins.min(axis=1)).view(np.int64)
+
+
+def make_winnow_udf(gram: int, window: int, hash_seed: int):
+    """Arrow-batched winnowing: norm_text -> array<long> fingerprints. Narrow map;
+    the explode + bucket join stay JVM-side."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def winnow_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        hasher = TokenHasher(hash_seed)
+        for batch in it:
+            out = []
+            for t in batch:
+                toks = t.split(" ") if t else []
+                out.append(winnow_kernel(hasher.hash_tokens(toks), gram, window))
+            yield pd.Series(out)
+
+    return winnow_udf
+
+
+def span_candidates(
+    normalized: DataFrame,
+    cfg: DedupConfig,
+    id_col: str = "url",
+    text_col: str = "norm_text",
+    group_col: str | None = None,
+    dedup: bool = True,
+) -> DataFrame:
+    """Corpus-level discovery: candidate pairs that MAY share an exact run of
+    >= cfg.min_overlap_span tokens (guaranteed superset by the winnowing bound;
+    verify with overlap_spans). Hot fingerprints (boilerplate runs shared by
+    thousands of docs) go through the same star-cap + salted sub-bucket guard as
+    hot LSH bands — sharing a fingerprint only proves an L-token overlap, not the
+    full min_span, so hot groups are heterogeneous under verification and need
+    the sub-bucket pairing."""
+    from cqaduplicatefind_spark.operators.candidates import bucket_candidates
+
+    gram, window = winnow_params(cfg.min_overlap_span)
+    udf = make_winnow_udf(gram, window, cfg.minhash_seed)
+    extras = (group_col,) if group_col else ()
+    fps = normalized.select(
+        F.col(id_col).alias("id"),
+        *extras,
+        F.explode(udf(F.col(text_col))).alias("fp"),
+    )
+    return bucket_candidates(
+        fps,
+        "id",
+        (*extras, "fp"),
+        max_group=cfg.max_band_group,
+        dedup=dedup,
+        salt_cap=cfg.salt_buckets,
+    )
+
+
+def exact_span_edges(
+    normalized: DataFrame,
+    cfg: DedupConfig,
+    exclude: DataFrame | None = None,
+    id_col: str = "url",
+    text_col: str = "norm_text",
+    group_col: str | None = None,
+) -> DataFrame:
+    """The pipeline's suffix-array-analog stage: (id_a, id_b, overlap_span) edges
+    for pairs sharing an exact contiguous run >= cfg.min_overlap_span tokens.
+
+    Candidates come solely from winnowed-fingerprint discovery — by the winnowing
+    bound that already covers EVERY qualifying pair; no seeding from the Jaccard
+    path is needed. ``exclude`` (typically the already-accepted duplicate edges)
+    is anti-joined away before the span verification: pairs that are already
+    edges contribute nothing new to connectivity, and on near-duplicate-heavy
+    corpora they are the overwhelming majority of span candidates — the
+    anti-join turns the verify step from O(all near-dup pairs) into O(residual
+    containment pairs)."""
+    # anti-join BEFORE the pair dedup: on near-duplicate-heavy corpora almost all
+    # raw span pairs are already edges, so the expensive dedup shuffle runs on
+    # the small residue instead of the full pair stream
+    cands = span_candidates(
+        normalized, cfg, id_col, text_col, group_col, dedup=exclude is None
+    )
+    if exclude is not None:
+        cands = cands.join(
+            exclude.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
+        ).dropDuplicates(["id_a", "id_b"])
+    spans = overlap_spans(cands, normalized, id_col, text_col)
+    return spans.where(F.col("overlap_span") >= cfg.min_overlap_span)
 
 
 def containment_edges(

@@ -64,13 +64,37 @@ def labeled_pairs(
     )
     n_pos = pos.count()
 
-    # negative pool: docs with no gold dups (reference's non_dup_rows, :148-152)
+    # negative pool: docs with no gold dups (reference's non_dup_rows, :148-152).
+    # Deterministic pseudo-random GLOBAL rank without a single-partition window
+    # (row_number over an unpartitioned ORDER BY pulls every row through one
+    # task): hash rows into B buckets, rank within each bucket in parallel, then
+    # add per-bucket offsets (B scalar rows collected to the driver). The total
+    # order is (bucket, hash, id) — seeded, reproducible, partition-independent.
+    n_buckets = 64
     dup_ids = sym.select(F.col("src").alias("id")).distinct()
-    non_dup = d.join(dup_ids, "id", "left_anti")
-    ordered = non_dup.withColumn(
-        "r", F.row_number().over(Window.orderBy(F.xxhash64(F.col("id"), F.lit(seed))))
+    h = F.xxhash64(F.col("id"), F.lit(seed))
+    non_dup = (
+        d.join(dup_ids, "id", "left_anti")
+        .withColumn("_h", h)
+        .withColumn("_b", F.pmod(h, F.lit(n_buckets)))
     )
-    n_non = ordered.count()
+    bw = Window.partitionBy("_b").orderBy("_h", "id")
+    local = non_dup.withColumn("_lr", F.row_number().over(bw))
+    sizes = {
+        r["_b"]: r["n"]
+        for r in non_dup.groupBy("_b").agg(F.count("*").alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in range(n_buckets):
+        offsets[b] = acc
+        acc += sizes.get(b, 0)
+    n_non = acc
+    off_map = F.create_map(
+        *[F.lit(x) for b_off in offsets.items() for x in b_off]
+    )
+    ordered = local.withColumn("r", F.col("_lr") + off_map[F.col("_b")]).drop(
+        "_h", "_b", "_lr"
+    )
     need = n_pos * negatives_per_positive
     fwd = ordered.where(F.col("r") <= need).select(
         F.col("id").alias("q1_id"), F.col("r").alias("k")

@@ -49,6 +49,7 @@ class PipelineResult:
     scored: DataFrame
     edges: DataFrame
     clusters: DataFrame
+    overlap_edges: DataFrame | None = None
     stage_metrics: dict = field(default_factory=dict)
 
 
@@ -78,8 +79,11 @@ def normalize_stage(
 def signature_stage(
     normalized: DataFrame, cfg: DedupConfig, group_col: str | None = None
 ) -> DataFrame:
+    # norm_text rides along for the exact-span pass (winnowing + span verify read
+    # it from the signatures stage table); every other consumer prunes it at the
+    # scan via explicit selects
     keep = ["url"] + ([group_col] if group_col else []) + [
-        "minhash", "simhash", "n_tokens", "n_shingles", "shingles"
+        "minhash", "simhash", "n_tokens", "n_shingles", "shingles", "norm_text"
     ]
     return with_signatures(normalized, cfg, "norm_text").select(*keep)
 
@@ -145,20 +149,50 @@ def run_pipeline(
         "scored_pairs",
         lambda: score_pairs(candidates, signatures, cfg, evidence=cfg.verify_evidence),
     )
-    edges = stage("dup_edges", lambda: accept_edges(scored, cfg))
+    # edges feed both the final clustering union and the span pass's anti-join;
+    # persist (or checkpoint) so the verify chain isn't executed once per branch
+    edges = stage(
+        "dup_edges", lambda: accept_edges(scored, cfg), reused=cfg.span_pass
+    )
+
+    # the suffix-array-analog stage (north_star): exact-span edges for pairs
+    # sharing a contiguous run >= min_overlap_span tokens, discovered corpus-wide
+    # by winnowing fingerprints (LSH never surfaces low-Jaccard containment
+    # pairs); already-accepted edges are anti-joined away before verification
+    overlap_edges = None
+    all_edges = edges.select("id_a", "id_b")
+    if cfg.span_pass and cfg.min_overlap_span > 0:
+        from cqaduplicatefind_spark.operators.overlap import exact_span_edges
+
+        overlap_edges = stage(
+            "overlap_edges",
+            lambda: exact_span_edges(
+                signatures, cfg, exclude=edges, group_col=group_col
+            ),
+        )
+        all_edges = all_edges.unionByName(
+            overlap_edges.select("id_a", "id_b")
+        ).dropDuplicates(["id_a", "id_b"])
+
     clusters = stage(
         "clusters",
         lambda: attach_singletons(
-            pages.select("url"), connected_components(edges.select("id_a", "id_b"))
+            pages.select("url"), connected_components(all_edges)
         ),
     )
 
     stage_metrics: dict = {}
     if warehouse is not None:
-        for t in ("signatures", "candidate_pairs", "scored_pairs", "dup_edges", "clusters"):
+        tables = ["signatures", "candidate_pairs", "scored_pairs", "dup_edges"]
+        if overlap_edges is not None:
+            tables.append("overlap_edges")
+        tables.append("clusters")
+        for t in tables:
             stage_metrics[t] = warehouse.manifest(t).get("row_count")
 
-    return PipelineResult(signatures, candidates, scored, edges, clusters, stage_metrics)
+    return PipelineResult(
+        signatures, candidates, scored, edges, clusters, overlap_edges, stage_metrics
+    )
 
 
 def dedup_clusters_df(spark: SparkSession, pages: DataFrame, cfg: DedupConfig) -> DataFrame:

@@ -3,16 +3,26 @@
 The reference is batch-only (SURVEY.md §2.10); this is the engine's forward path
 for continuously-arriving crawl data: new pages stream in, get normalized + signed
 with the SAME Arrow-batched kernels as batch (identical signatures by construction),
-and are matched against the accumulated corpus index via the LSH band join inside
-``foreachBatch``.
+and are matched against the accumulated corpus inside ``foreachBatch``.
 
-Design:
-- signature computation is a stateless narrow map -> works unchanged on a streaming
-  DataFrame;
-- the corpus index (signatures stage table) lives in the warehouse; each micro-batch
-  LSH-joins its new docs against the index, emits duplicate edges, then appends its
-  own signatures to the index (exactly-once via batch-id-keyed idempotent writes —
-  here: overwrite-by-batch-subdir, the Iceberg ``MERGE`` analog);
+Design (the part that must stay sub-linear per batch at 10^12 docs):
+
+- signature computation is a stateless narrow map -> works unchanged on a
+  streaming DataFrame;
+- the corpus index is a **band table** (id, band, bh — one slim row per LSH band)
+  appended incrementally per batch: each micro-batch explodes ONLY its own docs'
+  bands and equi-joins them against the accumulated band table. The heavyweight
+  signature payloads (128-lane minhash, shingle arrays) are stored separately and
+  are touched only for ids that actually appear in candidate pairs;
+- candidate generation handles intra-batch duplicates and batch-vs-index matches
+  in ONE skew-capped pass: the union of (index bands, new bands) goes through the
+  same ``bucket_candidates`` kernel as batch mode, with an ``is_new`` flag carried
+  to both pair sides and pairs between two index docs filtered out (they were
+  reported when the younger of the two arrived). Match results are therefore
+  independent of micro-batch boundaries — a duplicate pair arriving within one
+  batch is found exactly like one split across batches;
+- exactly-once via batch-id-keyed idempotent writes (overwrite-by-batch-subdir,
+  the Iceberg ``MERGE`` analog);
 - event-time windowed aggregation with a watermark covers the metrics-over-time
   surface (docs/sec, dup-rate per window).
 """
@@ -26,39 +36,50 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from cqaduplicatefind_spark.config import DedupConfig
 from cqaduplicatefind_spark.functions.normalize import with_normalized_text
 from cqaduplicatefind_spark.functions.signatures import with_signatures
-from cqaduplicatefind_spark.operators.candidates import explode_bands
+from cqaduplicatefind_spark.operators.candidates import (
+    bucket_candidates,
+    explode_bands,
+)
 from cqaduplicatefind_spark.operators.verify import accept_edges, score_pairs
+
+SIG_COLS = ("url", "minhash", "simhash", "n_tokens", "n_shingles", "shingles")
 
 
 def stream_signatures(pages_stream: DataFrame, cfg: DedupConfig) -> DataFrame:
     """Streaming pages(url, text, ...) -> streaming signatures. Stateless."""
     norm = with_normalized_text(pages_stream, "text", "norm_text")
-    return with_signatures(norm, cfg, "norm_text").select(
-        "url", "minhash", "simhash", "n_tokens", "n_shingles", "shingles"
-    )
+    return with_signatures(norm, cfg, "norm_text").select(*SIG_COLS)
 
 
 class IncrementalDedup:
     """foreachBatch processor: match each micro-batch against the corpus index.
 
-    ``index_dir`` holds per-batch parquet subdirs (idempotent re-runs of a batch id
-    overwrite their own subdir — micro-batch replays cannot duplicate index rows).
-    Matches append to ``matches_dir``, partitioned by batch id the same way.
+    Layout under ``work_dir``: ``bands/batch=N`` (slim band index rows),
+    ``sigs/batch=N`` (signature payloads, read back only for candidate ids),
+    ``matches/batch=N`` (accepted duplicate edges). Idempotent re-runs of a batch
+    id overwrite their own subdirs — micro-batch replays cannot duplicate rows.
+
+    ``batch_stats`` records per-batch row counts (new docs, index band rows
+    joined, candidate pairs, signature payload rows fetched) — the evidence that
+    per-batch work scales with the batch + index BAND table, never with the
+    accumulated signature payloads.
     """
 
     def __init__(self, spark: SparkSession, cfg: DedupConfig,
-                 index_dir: str, matches_dir: str) -> None:
+                 bands_dir: str, sigs_dir: str, matches_dir: str) -> None:
         self.spark = spark
         self.cfg = cfg
-        self.index_dir = index_dir
+        self.bands_dir = bands_dir
+        self.sigs_dir = sigs_dir
         self.matches_dir = matches_dir
-        os.makedirs(index_dir, exist_ok=True)
-        os.makedirs(matches_dir, exist_ok=True)
+        self.batch_stats: list[dict] = []
+        for d in (bands_dir, sigs_dir, matches_dir):
+            os.makedirs(d, exist_ok=True)
 
-    def _index(self) -> DataFrame | None:
+    def _read_batches(self, root: str) -> DataFrame | None:
         subdirs = [
-            os.path.join(self.index_dir, d)
-            for d in os.listdir(self.index_dir)
+            os.path.join(root, d)
+            for d in os.listdir(root)
             if d.startswith("batch=")
         ]
         if not subdirs:
@@ -66,50 +87,89 @@ class IncrementalDedup:
         return self.spark.read.parquet(*subdirs)
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        batch_df = batch_df.persist()
+        cfg = self.cfg
+        batch_df = batch_df.where(F.col("n_shingles") > 0).persist()
         try:
-            index = self._index()
-            if index is not None:
-                new_bands = explode_bands(batch_df, self.cfg).withColumnRenamed(
-                    "id", "id_new"
+            new_bands = explode_bands(batch_df, cfg).withColumn(
+                "is_new", F.lit(True)
+            ).persist()
+            idx_bands = self._read_batches(self.bands_dir)
+            all_bands = (
+                new_bands
+                if idx_bands is None
+                else idx_bands.withColumn("is_new", F.lit(False)).unionByName(
+                    new_bands
                 )
-                idx_bands = explode_bands(index, self.cfg).withColumnRenamed(
-                    "id", "id_idx"
-                )
-                cand = (
-                    new_bands.join(idx_bands, ["band", "bh"])
-                    .where(F.col("id_new") != F.col("id_idx"))
-                    .select(
-                        F.least("id_new", "id_idx").alias("id_a"),
-                        F.greatest("id_new", "id_idx").alias("id_b"),
-                    )
-                    .dropDuplicates(["id_a", "id_b"])
-                )
-                both = index.unionByName(batch_df.select(*index.columns))
-                scored = score_pairs(cand, both, self.cfg)
-                edges = accept_edges(scored, self.cfg)
-                edges.write.mode("overwrite").parquet(
-                    os.path.join(self.matches_dir, f"batch={batch_id}")
-                )
-            # idempotent index append: replays overwrite their own subdir
-            batch_df.write.mode("overwrite").parquet(
-                os.path.join(self.index_dir, f"batch={batch_id}")
             )
+
+            # one skew-capped pass over the band union: intra-batch pairs AND
+            # batch-vs-index pairs; index-index pairs (already reported when the
+            # younger doc arrived) are dropped by the pair filter
+            def involves_new(pairs: DataFrame) -> DataFrame:
+                return pairs.where(F.col("is_new_a") | F.col("is_new_b"))
+
+            cand = bucket_candidates(
+                all_bands,
+                "id",
+                ("band", "bh"),
+                max_group=cfg.max_band_group,
+                carry_cols=("is_new",),
+                pair_filter=involves_new,
+                salt_cap=cfg.salt_buckets,
+            ).persist()
+            n_cand = cand.count()
+
+            # fetch signature payloads ONLY for ids in candidate pairs
+            ids = (
+                cand.select(F.col("id_a").alias("url"))
+                .unionByName(cand.select(F.col("id_b").alias("url")))
+                .distinct()
+            )
+            idx_sigs = self._read_batches(self.sigs_dir)
+            store = (
+                batch_df.select(*SIG_COLS)
+                if idx_sigs is None
+                else idx_sigs.unionByName(batch_df.select(*SIG_COLS))
+            )
+            needed = store.join(ids, "url", "left_semi").persist()
+            n_payload = needed.count()
+
+            edges = accept_edges(score_pairs(cand, needed, cfg), cfg)
+            edges.write.mode("overwrite").parquet(
+                os.path.join(self.matches_dir, f"batch={batch_id}")
+            )
+
+            self.batch_stats.append(
+                {
+                    "batch_id": int(batch_id),
+                    "n_new_docs": batch_df.count(),
+                    "n_index_band_rows": 0 if idx_bands is None else idx_bands.count(),
+                    "n_candidates": n_cand,
+                    "n_sig_payload_rows": n_payload,
+                }
+            )
+
+            # idempotent index append: replays overwrite their own subdirs
+            new_bands.drop("is_new").write.mode("overwrite").parquet(
+                os.path.join(self.bands_dir, f"batch={batch_id}")
+            )
+            batch_df.select(*SIG_COLS).write.mode("overwrite").parquet(
+                os.path.join(self.sigs_dir, f"batch={batch_id}")
+            )
+            cand.unpersist()
+            needed.unpersist()
+            new_bands.unpersist()
         finally:
             batch_df.unpersist()
 
     def matches(self) -> DataFrame:
-        subdirs = [
-            os.path.join(self.matches_dir, d)
-            for d in os.listdir(self.matches_dir)
-            if d.startswith("batch=")
-        ]
-        if not subdirs:
+        m = self._read_batches(self.matches_dir)
+        if m is None:
             return self.spark.createDataFrame(
                 [], "id_a string, id_b string, jaccard double, est_jaccard double, "
                     "hamming int, containment double"
             )
-        return self.spark.read.parquet(*subdirs)
+        return m
 
 
 def run_incremental_dedup(
@@ -124,7 +184,10 @@ def run_incremental_dedup(
     read ``dedup.matches()``."""
     sigs = stream_signatures(pages_stream, cfg)
     dedup = IncrementalDedup(
-        spark, cfg, os.path.join(work_dir, "index"), os.path.join(work_dir, "matches")
+        spark, cfg,
+        os.path.join(work_dir, "bands"),
+        os.path.join(work_dir, "sigs"),
+        os.path.join(work_dir, "matches"),
     )
     q = (
         sigs.writeStream.foreachBatch(dedup.process_batch)

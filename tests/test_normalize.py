@@ -109,3 +109,32 @@ def test_with_normalized_text_on_fixture(spark, tiny_fixture):
     rows = norm.select("text", "norm_text").collect()
     for r in rows:
         assert r.norm_text == review_to_wordlist(r.text)
+
+
+def test_norm_memo_bounded_by_bytes_not_entries():
+    """The normalization memo must key on digests and stay within its byte budget
+    even when fed many large distinct texts (multi-KB web pages previously pinned
+    the raw text as dict keys — gigabytes per worker)."""
+    import cqaduplicatefind_spark.functions.normalize as nz
+
+    saved_memo, saved_bytes = dict(nz._NORM_MEMO), nz._NORM_MEMO_BYTES
+    try:
+        nz._NORM_MEMO.clear()
+        nz._NORM_MEMO_BYTES = 0
+        big = "word " * 200_000  # ~1 MB raw
+        for i in range(100):
+            out = nz._normalize_memo(f"doc{i} " + big)
+            assert out  # normalization still works
+        stored = sum(len(v) for v in nz._NORM_MEMO.values()) + sum(
+            len(k) for k in nz._NORM_MEMO
+        )
+        assert stored <= nz._NORM_MEMO_BYTE_BUDGET
+        assert all(isinstance(k, bytes) and len(k) == 16 for k in nz._NORM_MEMO)
+        # memoized result identical to a fresh computation
+        assert nz._normalize_memo("the quick brown fox") == nz.review_to_wordlist(
+            "the quick brown fox"
+        )
+    finally:
+        nz._NORM_MEMO.clear()
+        nz._NORM_MEMO.update(saved_memo)
+        nz._NORM_MEMO_BYTES = saved_bytes

@@ -70,3 +70,16 @@ def test_train_test_split_partition(spark):
     assert tr + te == n
     # split is disjoint
     assert train.intersect(test).count() == 0
+
+
+def test_labeled_pairs_no_single_partition_exchange(spark, tiny_fixture):
+    """The negative-sampling rank must be distributed: an unpartitioned
+    row_number window would plan Exchange SinglePartition and pull every
+    non-dup doc through one task."""
+    from cqaduplicatefind_spark.operators.pairs import gold_edges_from_dups, labeled_pairs
+
+    pages, gold, _ = tiny_fixture
+    docs = pages.select("url", F.col("text").alias("norm_text"))
+    pairs = labeled_pairs(docs, gold)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, plan

@@ -104,7 +104,9 @@ def test_heterogeneous_hot_bucket_true_pairs_cluster_correctly(spark):
         rows.append((f"a{i:02d}", f"{shell} {unique}"))
         rows.append((f"b{i:02d}", f"{shell} {unique}"))
     pages = spark.createDataFrame(rows, "url string, text string")
-    cfg = _cfg(max_band_group=4, jaccard_threshold=0.9)
+    # span_pass off: the exact-span stage would (correctly) link every doc via
+    # the shared 80-token shell — this test isolates the LSH hot-bucket path
+    cfg = _cfg(max_band_group=4, jaccard_threshold=0.9, span_pass=False)
     result = run_pipeline(spark, pages, cfg)
     clusters = {r["url"]: r["cluster_id"] for r in result.clusters.collect()}
     for i in range(25):
@@ -183,3 +185,43 @@ def test_verify_evidence_modes_agree_on_accepted_edges(spark, tiny_fixture):
         cand.unpersist()
     finally:
         sigs.unpersist()
+
+
+def test_hot_cluster_closure_stays_linear(spark):
+    """A single huge cluster must not explode the transitive-closure pair
+    emission: C(4000,2) ~ 8M full-closure pairs vs the size-guarded O(m)."""
+    from cqaduplicatefind_spark.operators.metrics import clusters_to_pairs
+
+    m = 4000
+    assignments = spark.createDataFrame(
+        [(f"u{i:05d}", "u00000") for i in range(m)], "url string, cluster_id string"
+    )
+    n = clusters_to_pairs(assignments, max_cluster_size=64).count()
+    # stars (m-1) + salted sub-groups (expected size 64 -> ~m*63/2 max emission)
+    assert n <= m * 64, f"closure blowup: {n} pairs for one {m}-member cluster"
+    # small clusters keep the exact closure
+    small = spark.createDataFrame(
+        [(f"d{i}", "d0") for i in range(5)], "url string, cluster_id string"
+    )
+    assert clusters_to_pairs(small, max_cluster_size=64).count() == 10
+
+
+def test_hot_gram_capped_in_ngram_jaccard(spark):
+    """One ubiquitous 3-gram shared by 600 docs must not produce a quadratic
+    group in the gram self-join: with DF cap it contributes nothing."""
+    from cqaduplicatefind_spark.operators.ngram import doc_ngrams, ngram_jaccard_pairs
+
+    m = 600
+    rows = [(i, f"hot gram here tail{i}a tail{i}b tail{i}c") for i in range(m)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    grams = doc_ngrams(docs, 3, df_cap=50)
+    # the hot gram is dropped; per-doc unique grams survive
+    assert grams.where(F.col("g") == "hot gram here").count() == 0
+    assert grams.count() > 0
+    pairs = ngram_jaccard_pairs(docs, 3, min_jaccard=0.1, df_cap=50)
+    assert pairs.count() == 0  # no remaining shared grams -> no quadratic group
+    # and WITHOUT the cap the hot gram links everything (sanity that the cap
+    # is what prevents the blowup, checked on a small slice)
+    tiny = spark.createDataFrame(rows[:20], "doc_id long, text string")
+    uncapped = ngram_jaccard_pairs(tiny, 3, min_jaccard=0.01, df_cap=None)
+    assert uncapped.count() == 190  # C(20,2): every pair shares the hot gram

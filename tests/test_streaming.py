@@ -13,37 +13,54 @@ from cqaduplicatefind_spark.streaming.incremental import (
 
 
 def test_incremental_dedup_file_source(spark, tmp_path):
+    """Three micro-batches: (1) intra-batch duplicates are detected within their
+    own batch (match results independent of batch boundaries), (2) a later dup
+    matches the accumulated index, (3) per-batch work reads the slim band index
+    but fetches signature payloads ONLY for candidate ids — an unrelated batch
+    touches zero payload rows no matter how big the index is."""
     cfg = DedupConfig(shingle_k=3, jaccard_threshold=0.7, shuffle_partitions=4)
     src = str(tmp_path / "incoming")
     os.makedirs(src)
 
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
     batch1 = [(f"u{i}", base + f"tail{i}") for i in range(4)]          # near-dups
-    batch2 = [("u9", base + "tail0"), ("u10", "totally different words here " * 8)]
+    batch2 = [("u9", base + "tail0"), ("v0", "totally different words here " * 8)]
+    batch3 = [(f"w{i}", f"unrelated corpus w{i} " + "qq ww ee rr tt yy " * 10)
+              for i in range(3)]
 
-    spark.createDataFrame(batch1, "url string, text string").write.mode(
-        "append"
-    ).parquet(src)
+    def run_batch(rows):
+        spark.createDataFrame(rows, "url string, text string").write.mode(
+            "append"
+        ).parquet(src)
+        stream = spark.readStream.schema("url string, text string").parquet(src)
+        q, dedup = run_incremental_dedup(spark, stream, cfg, str(tmp_path / "work"))
+        q.awaitTermination(120)
+        return dedup
 
-    stream = spark.readStream.schema("url string, text string").parquet(src)
-    q, dedup = run_incremental_dedup(spark, stream, cfg, str(tmp_path / "work"))
-    q.awaitTermination(120)
+    # batch 1: intra-batch duplicate pairs are found immediately — results do
+    # not depend on arbitrary micro-batch boundaries
+    d1 = run_batch(batch1)
+    got1 = {(r.id_a, r.id_b) for r in d1.matches().collect()}
+    assert got1 == {
+        (f"u{i}", f"u{j}") for i in range(4) for j in range(4) if i < j
+    }
 
-    # first batch only populates the index (nothing to match against)
-    n_first = dedup.matches().count()
+    # batch 2: u9 duplicates every u0..u3 via the accumulated index; v0 nothing
+    d2 = run_batch(batch2)
+    got2 = {(r.id_a, r.id_b) for r in d2.matches().collect()}
+    assert got2 - got1 == {(f"u{i}", "u9") for i in range(4)}
+    (s2,) = d2.batch_stats
+    assert s2["n_index_band_rows"] == 4 * cfg.bands  # slim band index joined
+    # payload rows fetched = only candidate ids (u0..u3, u9), NOT the whole index
+    assert s2["n_sig_payload_rows"] == 5
 
-    spark.createDataFrame(batch2, "url string, text string").write.mode(
-        "append"
-    ).parquet(src)
-    stream2 = spark.readStream.schema("url string, text string").parquet(src)
-    q2, dedup2 = run_incremental_dedup(spark, stream2, cfg, str(tmp_path / "work"))
-    q2.awaitTermination(120)
-
-    got = {(r.id_a, r.id_b) for r in dedup2.matches().collect()}
-    # u9 duplicates every u0..u3 (same base text); u10 matches nothing
-    assert ("u0", "u9") in got
-    assert not any("u10" in p for pair in got for p in pair)
-    assert len(got) >= n_first
+    # batch 3: unrelated docs -> zero candidates, ZERO payload rows fetched even
+    # though the index now holds 6 docs
+    d3 = run_batch(batch3)
+    (s3,) = d3.batch_stats
+    assert s3["n_candidates"] == 0
+    assert s3["n_sig_payload_rows"] == 0
+    assert {(r.id_a, r.id_b) for r in d3.matches().collect()} == got2
 
 
 def test_windowed_event_metrics_batch_semantics(spark):
