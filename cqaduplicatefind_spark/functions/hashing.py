@@ -176,6 +176,28 @@ class RollingHash:
             return (t[length:] - t[: n - length + 1]) * self._bpow[: n - length + 1]
 
 
+def winnow_params(min_span: int) -> tuple[int, int]:
+    """(gram length L, winnow window w) with L + w - 1 = min_span: any shared run
+    of >= min_span tokens shares a winnowed fingerprint (Schleimer et al. 2003).
+    L ~= 0.8*min_span keeps fingerprint density ~= 2/(w+1) ~= 10/min_span per
+    token position."""
+    gram = max(2, (min_span * 4) // 5)
+    window = max(1, min_span - gram + 1)
+    return gram, window
+
+
+def winnow_kernel(tok_hashes: np.ndarray, gram: int, window: int) -> np.ndarray:
+    """Distinct winnowed fingerprints (int64 views) of one doc's token hashes.
+    L-gram hashes come from the O(1)-per-window rolling scheme — O(n) per doc."""
+    g = RollingHash(tok_hashes).windows(gram)
+    if len(g) == 0:
+        return np.empty(0, dtype=np.int64)
+    if len(g) <= window:
+        return np.unique(g.min(keepdims=True)).view(np.int64)
+    wins = np.lib.stride_tricks.sliding_window_view(g, window)
+    return np.unique(wins.min(axis=1)).view(np.int64)
+
+
 def perm_seeds(num_perms: int, seed: int) -> np.ndarray:
     """Deterministic per-permutation seeds for the MinHash family."""
     base = np.arange(num_perms, dtype=np.uint64) + _U64(seed & 0xFFFFFFFFFFFFFFFF)

@@ -40,6 +40,8 @@ from cqaduplicatefind_spark.functions.hashing import (
     shingle_hashes,
     splitmix64,
     splitmix64_inplace,
+    winnow_kernel,
+    winnow_params,
 )
 
 _U64 = np.uint64
@@ -55,6 +57,10 @@ SIGNATURE_FIELDS = StructType(
         # scale this column lives only in the signatures stage table and is pruned
         # from every scan that doesn't verify.
         StructField("shingles", ArrayType(LongType()), False),
+        # winnowed exact-span fingerprints (the suffix-array-analog pass's
+        # discovery keys), computed in the SAME tokenize pass; empty arrays when
+        # cfg.span_pass is off. Pruned like shingles.
+        StructField("span_fps", ArrayType(LongType()), False),
     ]
 )
 
@@ -195,6 +201,17 @@ def _compute_chunk(
         for i in range(len(token_lists))
     ]
 
+    if cfg.span_pass and cfg.min_overlap_span > 0:
+        gram, window = winnow_params(cfg.min_overlap_span)
+        span_fps = [
+            winnow_kernel(
+                tok_hashes[tok_offsets[i] : tok_offsets[i + 1]], gram, window
+            )
+            for i in range(len(token_lists))
+        ]
+    else:
+        span_fps = [np.empty(0, dtype=np.int64)] * len(token_lists)
+
     return pd.DataFrame(
         {
             "minhash": list(sig.astype(np.int64)),  # reinterpret-safe: order not used
@@ -202,6 +219,7 @@ def _compute_chunk(
             "n_tokens": tok_counts.astype(np.int32),
             "n_shingles": shingle_counts.astype(np.int32),
             "shingles": distinct_shingles,
+            "span_fps": span_fps,
         }
     )
 
@@ -231,5 +249,6 @@ def with_signatures(
         .withColumn("n_tokens", F.col("_sig.n_tokens"))
         .withColumn("n_shingles", F.col("_sig.n_shingles"))
         .withColumn("shingles", F.col("_sig.shingles"))
+        .withColumn("span_fps", F.col("_sig.span_fps"))
         .drop("_sig")
     )

@@ -43,7 +43,12 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import ArrayType, LongType
 
 from cqaduplicatefind_spark.config import DedupConfig
-from cqaduplicatefind_spark.functions.hashing import RollingHash, TokenHasher
+from cqaduplicatefind_spark.functions.hashing import (  # noqa: F401 (re-exports)
+    RollingHash,
+    TokenHasher,
+    winnow_kernel,
+    winnow_params,
+)
 
 
 def longest_common_span(a: np.ndarray, b: np.ndarray) -> int:
@@ -123,28 +128,6 @@ def overlap_spans(
     )
 
 
-def winnow_params(min_span: int) -> tuple[int, int]:
-    """(gram length L, winnow window w) with L + w - 1 = min_span: any shared run
-    of >= min_span tokens shares a winnowed fingerprint. L ~= 0.8*min_span keeps
-    fingerprint density ~= 2/(w+1) ~= 10/min_span per token position."""
-    gram = max(2, (min_span * 4) // 5)
-    window = max(1, min_span - gram + 1)
-    return gram, window
-
-
-def winnow_kernel(tok_hashes: np.ndarray, gram: int, window: int) -> np.ndarray:
-    """Distinct winnowed fingerprints (int64 views) of one doc's token hashes.
-    L-gram hashes come from the O(1)-per-window rolling scheme — O(n) per doc
-    instead of O(n*L)."""
-    g = RollingHash(tok_hashes).windows(gram)
-    if len(g) == 0:
-        return np.empty(0, dtype=np.int64)
-    if len(g) <= window:
-        return np.unique(g.min(keepdims=True)).view(np.int64)
-    wins = np.lib.stride_tricks.sliding_window_view(g, window)
-    return np.unique(wins.min(axis=1)).view(np.int64)
-
-
 def make_winnow_udf(gram: int, window: int, hash_seed: int):
     """Arrow-batched winnowing: norm_text -> array<long> fingerprints. Narrow map;
     the explode + bucket join stay JVM-side."""
@@ -176,16 +159,23 @@ def span_candidates(
     thousands of docs) go through the same star-cap + salted sub-bucket guard as
     hot LSH bands — sharing a fingerprint only proves an L-token overlap, not the
     full min_span, so hot groups are heterogeneous under verification and need
-    the sub-bucket pairing."""
+    the sub-bucket pairing.
+
+    When the input carries a precomputed ``span_fps`` column (the signature UDF
+    emits it in the same tokenize pass as minhash/simhash), the explode is pure
+    Catalyst — no second pass over the text."""
     from cqaduplicatefind_spark.operators.candidates import bucket_candidates
 
-    gram, window = winnow_params(cfg.min_overlap_span)
-    udf = make_winnow_udf(gram, window, cfg.minhash_seed)
     extras = (group_col,) if group_col else ()
+    if "span_fps" in normalized.columns:
+        fp_col = F.col("span_fps")
+    else:
+        gram, window = winnow_params(cfg.min_overlap_span)
+        fp_col = make_winnow_udf(gram, window, cfg.minhash_seed)(F.col(text_col))
     fps = normalized.select(
         F.col(id_col).alias("id"),
         *extras,
-        F.explode(udf(F.col(text_col))).alias("fp"),
+        F.explode(fp_col).alias("fp"),
     )
     return bucket_candidates(
         fps,
@@ -200,7 +190,7 @@ def span_candidates(
 def exact_span_edges(
     normalized: DataFrame,
     cfg: DedupConfig,
-    exclude: DataFrame | None = None,
+    exclude_assignments: DataFrame | None = None,
     id_col: str = "url",
     text_col: str = "norm_text",
     group_col: str | None = None,
@@ -210,37 +200,35 @@ def exact_span_edges(
 
     Candidates come solely from winnowed-fingerprint discovery — by the winnowing
     bound that already covers EVERY qualifying pair; no seeding from the Jaccard
-    path is needed. ``exclude`` (typically the already-accepted duplicate edges)
-    is anti-joined away before the span verification: pairs that are already
-    edges contribute nothing new to connectivity, and on near-duplicate-heavy
-    corpora they are the overwhelming majority of span candidates — the
-    anti-join turns the verify step from O(all near-dup pairs) into O(residual
-    containment pairs)."""
-    # anti-join BEFORE the pair dedup: on near-duplicate-heavy corpora almost all
-    # raw span pairs are already edges, so the expensive dedup shuffle runs on
-    # the small residue instead of the full pair stream
+    path is needed. ``exclude_assignments`` (an (id, cluster_id) table, typically
+    the connected components of the already-accepted LSH edges) drops candidate
+    pairs whose endpoints are ALREADY in one cluster, BEFORE the pair-dedup
+    shuffle and the per-pair span verification: such pairs contribute nothing
+    new to connectivity, and on near-duplicate-heavy corpora they are the
+    overwhelming majority of span candidates — the filter turns the verify step
+    from O(all near-dup pairs) into O(genuinely-new containment pairs)."""
     cands = span_candidates(
-        normalized, cfg, id_col, text_col, group_col, dedup=exclude is None
+        normalized, cfg, id_col, text_col, group_col,
+        dedup=exclude_assignments is None,
     )
-    if exclude is not None:
-        cands = cands.join(
-            exclude.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
-        ).dropDuplicates(["id_a", "id_b"])
+    if exclude_assignments is not None:
+        ca = exclude_assignments.select(
+            F.col("id").alias("id_a"), F.col("cluster_id").alias("_ca")
+        )
+        cb = exclude_assignments.select(
+            F.col("id").alias("id_b"), F.col("cluster_id").alias("_cb")
+        )
+        cands = (
+            cands.join(ca, "id_a", "left")
+            .join(cb, "id_b", "left")
+            # unassigned endpoints are singletons: cluster id defaults to the id
+            .where(
+                F.coalesce("_ca", F.col("id_a")) != F.coalesce("_cb", F.col("id_b"))
+            )
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
     spans = overlap_spans(cands, normalized, id_col, text_col)
     return spans.where(F.col("overlap_span") >= cfg.min_overlap_span)
 
 
-def containment_edges(
-    scored: DataFrame,
-    normalized: DataFrame,
-    min_span: int,
-    containment_floor: float = 0.5,
-) -> DataFrame:
-    """Containment-suspect pairs (moderate containment but sub-threshold Jaccard)
-    verified by exact span: an edge iff the shared contiguous run >= min_span.
-    Runs on the small residue the main threshold already rejected — cheap."""
-    suspects = scored.where(
-        (F.col("containment") >= containment_floor)
-    ).select("id_a", "id_b")
-    spans = overlap_spans(suspects, normalized)
-    return spans.where(F.col("overlap_span") >= min_span)

@@ -67,8 +67,15 @@ def normalize_stage(
     # pandas-UDF stages parallelize over partitions; a small input (one parquet
     # file -> one split) would otherwise run the whole normalize+signature chain
     # on a single core. Hash-partition on url (deterministic under retries, unlike
-    # round-robin). At cluster scale input splits >> target and this is a no-op.
-    if df.rdd.getNumPartitions() < cfg.signature_partitions:
+    # round-robin). The width probe uses the scan's file listing — NOT df.rdd,
+    # which builds the whole RDD conversion per run; in-memory frames (empty
+    # listing) always repartition. At cluster scale input files >> target and
+    # this is a no-op.
+    try:
+        n_input_files = len(df.inputFiles())
+    except Exception:
+        n_input_files = 0
+    if n_input_files < cfg.signature_partitions:
         df = df.repartition(cfg.signature_partitions, "url")
     if use_html:
         df = with_extracted_text(df, "html", "text")
@@ -79,11 +86,12 @@ def normalize_stage(
 def signature_stage(
     normalized: DataFrame, cfg: DedupConfig, group_col: str | None = None
 ) -> DataFrame:
-    # norm_text rides along for the exact-span pass (winnowing + span verify read
-    # it from the signatures stage table); every other consumer prunes it at the
-    # scan via explicit selects
+    # norm_text + span_fps ride along for the exact-span pass (fingerprint
+    # explode + span verify read them from the signatures stage table); every
+    # other consumer prunes them at the scan via explicit selects
     keep = ["url"] + ([group_col] if group_col else []) + [
-        "minhash", "simhash", "n_tokens", "n_shingles", "shingles", "norm_text"
+        "minhash", "simhash", "n_tokens", "n_shingles", "shingles",
+        "span_fps", "norm_text",
     ]
     return with_signatures(normalized, cfg, "norm_text").select(*keep)
 
@@ -149,43 +157,65 @@ def run_pipeline(
         "scored_pairs",
         lambda: score_pairs(candidates, signatures, cfg, evidence=cfg.verify_evidence),
     )
-    # edges feed both the final clustering union and the span pass's anti-join;
-    # persist (or checkpoint) so the verify chain isn't executed once per branch
-    edges = stage(
-        "dup_edges", lambda: accept_edges(scored, cfg), reused=cfg.span_pass
-    )
+    edges = stage("dup_edges", lambda: accept_edges(scored, cfg))
 
     # the suffix-array-analog stage (north_star): exact-span edges for pairs
     # sharing a contiguous run >= min_overlap_span tokens, discovered corpus-wide
     # by winnowing fingerprints (LSH never surfaces low-Jaccard containment
-    # pairs); already-accepted edges are anti-joined away before verification
+    # pairs). The LSH edges are clustered FIRST; span candidates whose endpoints
+    # already share a cluster are dropped before the dedup shuffle and the
+    # per-pair verification (they add no connectivity), so the span stage's
+    # verify cost is O(genuinely-new containment pairs), not O(near-dup pairs).
+    # Final clustering then runs over the (id -> cluster) assignment edges plus
+    # the new span edges — the assignment graph is already near-converged, so
+    # the second components job finishes in O(1) rounds.
     overlap_edges = None
-    all_edges = edges.select("id_a", "id_b")
     if cfg.span_pass and cfg.min_overlap_span > 0:
         from cqaduplicatefind_spark.operators.overlap import exact_span_edges
 
+        pre_assign = stage(
+            "pre_clusters",
+            lambda: connected_components(edges.select("id_a", "id_b")),
+        )
         overlap_edges = stage(
             "overlap_edges",
             lambda: exact_span_edges(
-                signatures, cfg, exclude=edges, group_col=group_col
+                signatures, cfg, exclude_assignments=pre_assign,
+                group_col=group_col,
+            ),
+            reused=True,  # probed for emptiness below, then unioned/returned
+        )
+        if overlap_edges.isEmpty():
+            # nothing new beyond the LSH clustering: skip the second components
+            # job entirely (the common case on corpora without shell-containment)
+            clusters = stage(
+                "clusters",
+                lambda: attach_singletons(pages.select("url"), pre_assign),
+            )
+        else:
+            all_edges = pre_assign.select(
+                F.col("id").alias("id_a"), F.col("cluster_id").alias("id_b")
+            ).unionByName(overlap_edges.select("id_a", "id_b"))
+            clusters = stage(
+                "clusters",
+                lambda: attach_singletons(
+                    pages.select("url"), connected_components(all_edges)
+                ),
+            )
+    else:
+        clusters = stage(
+            "clusters",
+            lambda: attach_singletons(
+                pages.select("url"),
+                connected_components(edges.select("id_a", "id_b")),
             ),
         )
-        all_edges = all_edges.unionByName(
-            overlap_edges.select("id_a", "id_b")
-        ).dropDuplicates(["id_a", "id_b"])
-
-    clusters = stage(
-        "clusters",
-        lambda: attach_singletons(
-            pages.select("url"), connected_components(all_edges)
-        ),
-    )
 
     stage_metrics: dict = {}
     if warehouse is not None:
         tables = ["signatures", "candidate_pairs", "scored_pairs", "dup_edges"]
         if overlap_edges is not None:
-            tables.append("overlap_edges")
+            tables.extend(["pre_clusters", "overlap_edges"])
         tables.append("clusters")
         for t in tables:
             stage_metrics[t] = warehouse.manifest(t).get("row_count")
