@@ -31,6 +31,18 @@ def _timed(fn):
     return time.perf_counter() - t0, n
 
 
+# idle pause before heavyweight timed sections: the sandbox hypervisor grants
+# ~30s full-speed CPU bursts, then throttles sustained load (~20% steal);
+# back-to-back timings otherwise measure the quota, not the code (protocol
+# measured in BASELINE.md; same cool-down the scaling bench uses)
+COOLDOWN_SEC = int(os.environ.get("SPARK_GRAFT_BENCH_COOLDOWN", "15"))
+
+
+def _cooled(fn):
+    time.sleep(COOLDOWN_SEC)
+    return _timed(fn)
+
+
 def make_pages(spark, sf_dir: str, replicate: int = 20):
     """Deterministic bench corpus: replicate the documents table with token-level
     perturbations so ~30% of docs form near-dup clusters (same generator semantics
@@ -88,15 +100,15 @@ def bench_pipeline(spark, sf_dir: str) -> dict[str, float]:
 
     # min of two runs: first execution pays one-time per-worker cache warmup
     # (stemmer/token-hash memos); steady-state is what scales to a cluster
-    t1, _ = _timed(_sig)
-    t2, _ = _timed(_sig)
+    t1, _ = _cooled(_sig)
+    t2, _ = _cooled(_sig)
     times["signatures"] = min(t1, t2)
 
     signatures = signature_stage(normalize_stage(pages, cfg), cfg).cache()
     signatures.count()
 
-    t1, n_cand = _timed(lambda: candidate_stage(signatures, cfg).count())
-    t2, _ = _timed(lambda: candidate_stage(signatures, cfg).count())
+    t1, n_cand = _cooled(lambda: candidate_stage(signatures, cfg).count())
+    t2, _ = _cooled(lambda: candidate_stage(signatures, cfg).count())
     times["lsh_candidates"] = min(t1, t2)
     signatures.unpersist()
 
@@ -107,20 +119,18 @@ def bench_pipeline(spark, sf_dir: str) -> dict[str, float]:
         def run():
             result = bench_pipeline._last = run_pipeline(spark, pages, c)
             n = result.clusters.count()
-            result.signatures.unpersist()
-            if result.edges.is_cached:
-                result.edges.unpersist()
+            result.release()
             return n
 
         return run
 
     from dataclasses import replace
 
-    t1, _ = _timed(_full(replace(cfg, span_pass=False)))
-    t2, _ = _timed(_full(replace(cfg, span_pass=False)))
+    t1, _ = _cooled(_full(replace(cfg, span_pass=False)))
+    t2, _ = _cooled(_full(replace(cfg, span_pass=False)))
     times["full_pipeline"] = min(t1, t2)
-    t1, _ = _timed(_full(cfg))
-    t2, _ = _timed(_full(cfg))
+    t1, _ = _cooled(_full(cfg))
+    t2, _ = _cooled(_full(cfg))
     times["full_pipeline_with_span"] = min(t1, t2)
     times["_n_docs"] = n_docs
 
@@ -147,7 +157,9 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     qs = entry_mod.queries()
     out = {}
     for name in names:
-        # min of two runs: steady-state throughput, not FS-cache/codegen noise
+        # min of two runs: steady-state throughput, not FS-cache/codegen noise;
+        # a short idle gap per query keeps the hypervisor burst budget topped up
+        time.sleep(min(COOLDOWN_SEC, 2))
         t1, _ = _timed(lambda: qs[name](spark, sf_dir).count())
         t2, _ = _timed(lambda: qs[name](spark, sf_dir).count())
         out[name] = min(t1, t2)

@@ -27,6 +27,17 @@ Scale design (the part that must survive 10^12 docs):
         band it collides in, on top of its (usually non-hot) content-specific
         bands. ``cfg.salt_buckets`` caps an unlucky/adversarial sub-group at
         ``salt_buckets * max_group`` members (beyond that: stars only).
+  The flagship pipeline splits the two treatments across a verify feedback loop
+  (``mode`` parameter): the FIRST candidate round emits small-bucket pairs +
+  star edges only (``mode="base"``, stars tagged ``is_star``); sub-bucket
+  pairing (``mode="rescue"``) runs as a second round restricted to pairs
+  touching an **orphan** — an endpoint of a star edge that exact-verify
+  REJECTED. On homogeneous corpora (the overwhelming case: a hot bucket is
+  usually one big duplicate family whose star edges all pass) the rescue round
+  is empty and the pipeline never pays the C(m,2)/n_sub sub-bucket volume;
+  recall is unchanged because a true pair (x, y) that final clustering would
+  otherwise miss must have x or y on a rejected star edge (if both their star
+  edges passed, both are already in the bucket-min's cluster).
   AQE skew-join handles residual block-level skew; group-size accounting is an
   explicit aggregation, not a sample.
 - Pairs are canonicalized (a < b) and deduplicated once, at the end, on the pair key.
@@ -65,6 +76,8 @@ def bucket_candidates(
     pair_filter=None,
     salt_cap: int = 8,
     salt_seed: int = 17,
+    mode: str = "all",
+    star_flag: bool = True,
 ) -> DataFrame:
     """(id, bucket-key..., carry...) -> candidate edges (id_a, id_b), skew-capped.
 
@@ -75,6 +88,22 @@ def bucket_candidates(
     exact-verify that may reject their star edges; see module docstring).
     ``salt_cap`` bounds an unlucky sub-bucket at salt_cap*max_group members
     (0 disables sub-bucket pairing entirely).
+
+    ``mode`` selects which of the three pair sources are emitted (the verify
+    feedback loop in the module docstring):
+    - ``"all"``: small pairs + stars + hot sub-bucket pairs (one-shot callers:
+      span pass, streaming, transitive closure);
+    - ``"base"``: small pairs + stars only, with an ``is_star`` output column
+      (the pipeline's cheap first round — star provenance feeds orphan calc);
+    - ``"rescue"``: hot sub-bucket pairs ONLY (second round over orphans; small
+      buckets and stars were already tried in base).
+
+    ``star_flag=False`` (base mode) emits star edges with ``is_star=false``:
+    for bucket families whose hot buckets are typically NOISE (SimHash pieces —
+    a 16-bit collision among unrelated docs), a rejected star edge is the
+    expected outcome, not a heterogeneity signal, and must NOT orphan its
+    endpoints — otherwise the rescue round degenerates to full sub-bucket
+    pairing over most of the corpus.
 
     ``carry_cols`` ride to both pair sides as ``<col>_a``/``<col>_b`` (star edges
     carry the group-min's values via a struct-min window); ``pair_filter`` is
@@ -90,6 +119,8 @@ def bucket_candidates(
     """
     from pyspark.sql import Window
 
+    if mode not in ("all", "base", "rescue"):
+        raise ValueError(f"unknown bucket_candidates mode: {mode!r}")
     keys = list(key_cols)
     carry = list(carry_cols)
     out_cols = ["id_a", "id_b"] + [f"{c}_{s}" for c in carry for s in ("a", "b")]
@@ -105,19 +136,23 @@ def bucket_candidates(
 
     # unified pairing key: small buckets pair whole (salt -1); hot-bucket members
     # pair within salted sub-buckets of expected size max_group (salt over the
-    # bucket key too -> independent draws per band). salt_cap=0 exempts hot
-    # members from pairing entirely (stars only): salt NULL, filtered below.
+    # bucket key too -> independent draws per band). A NULL salt exempts a member
+    # from the pairing join entirely (filtered below): hot members in "base" mode
+    # (stars only — sub-bucket pairing deferred to the rescue round) or when
+    # salt_cap=0; small-bucket members in "rescue" mode (already paired in base).
     is_small = F.col("_n") <= max_group
-    if salt_cap > 0:
+    null_salt = F.lit(None).cast("long")
+    if salt_cap > 0 and mode in ("all", "rescue"):
         n_sub = F.ceil(F.col("_n") / F.lit(max_group))
         hot_salt = F.pmod(
             F.xxhash64(F.col("id"), *[F.col(k) for k in keys], F.lit(salt_seed)),
             n_sub,
         )
     else:
-        hot_salt = F.lit(None).cast("long")
+        hot_salt = null_salt
+    small_salt = F.lit(-1).cast("long") if mode in ("all", "base") else null_salt
     annotated = annotated.withColumn(
-        "_salt", F.when(is_small, F.lit(-1).cast("long")).otherwise(hot_salt)
+        "_salt", F.when(is_small, small_salt).otherwise(hot_salt)
     )
     skeys = [*keys, "_salt"]
     sw = Window.partitionBy(*skeys)
@@ -139,24 +174,42 @@ def bucket_candidates(
     pairs = (
         left.join(right, skeys).where(F.col("id_a") < F.col("id_b")).select(*out_cols)
     )
+    keep_star = mode == "base"
+    if keep_star:
+        pairs = pairs.withColumn("is_star", F.lit(False))
 
-    # hot buckets additionally emit the O(m) star backbone to the bucket minimum
-    star = (
-        annotated.where(~is_small)
-        .where(F.col("id") != F.col("_mn.id"))
-        .select(
-            F.col("_mn.id").alias("id_a"),
-            *[F.col(f"_mn.{c}").alias(f"{c}_a") for c in carry],
-            F.col("id").alias("id_b"),
-            *[F.col(c).alias(f"{c}_b") for c in carry],
+    if mode in ("all", "base"):
+        # hot buckets additionally emit the O(m) star backbone to the bucket min
+        star = (
+            annotated.where(~is_small)
+            .where(F.col("id") != F.col("_mn.id"))
+            .select(
+                F.col("_mn.id").alias("id_a"),
+                *[F.col(f"_mn.{c}").alias(f"{c}_a") for c in carry],
+                F.col("id").alias("id_b"),
+                *[F.col(c).alias(f"{c}_b") for c in carry],
+            )
+            .select(*out_cols)
         )
-        .select(*out_cols)
-    )
-    pairs = pairs.unionByName(star)
+        if keep_star:
+            star = star.withColumn("is_star", F.lit(star_flag))
+        pairs = pairs.unionByName(star)
 
     if pair_filter is not None:
         pairs = pair_filter(pairs)
-    return canonical_pairs(pairs.select("id_a", "id_b"), dedup=dedup)
+    if not keep_star:
+        return canonical_pairs(pairs.select("id_a", "id_b"), dedup=dedup)
+    # base mode: canonicalize keeping star provenance; dedup aggregates it (a
+    # pair that is a star edge in ANY bucket keeps is_star=true — its rejection
+    # must orphan the endpoints even if the same pair also arose small-bucket)
+    out = pairs.select(
+        F.least(F.col("id_a"), F.col("id_b")).alias("_a"),
+        F.greatest(F.col("id_a"), F.col("id_b")).alias("_b"),
+        F.col("is_star"),
+    ).where(F.col("_a") < F.col("_b")).withColumnsRenamed({"_a": "id_a", "_b": "id_b"})
+    if not dedup:
+        return out
+    return out.groupBy("id_a", "id_b").agg(F.max("is_star").alias("is_star"))
 
 
 def band_keys(cfg: DedupConfig, minhash_col: str = "minhash"):
@@ -190,26 +243,51 @@ def explode_bands(
     )
 
 
+def _with_orphan_flag(exploded: DataFrame, orphans: DataFrame | None):
+    """Left-join an (id) orphan table onto an exploded bucket frame as a boolean
+    ``is_orphan`` carry column; returns (frame, carry, pair_filter) pieces for a
+    rescue-mode bucket_candidates call. The orphan gate keeps only pairs with at
+    least one orphan endpoint — pairs between two verified-connected members add
+    no connectivity (see module docstring)."""
+    if orphans is None:
+        return exploded, (), None
+    flag = orphans.select(F.col("id"), F.lit(True).alias("is_orphan"))
+    exploded = exploded.join(flag, "id", "left").withColumn(
+        "is_orphan", F.coalesce(F.col("is_orphan"), F.lit(False))
+    )
+
+    def orphan_gate(pairs: DataFrame) -> DataFrame:
+        return pairs.where(F.col("is_orphan_a") | F.col("is_orphan_b"))
+
+    return exploded, ("is_orphan",), orphan_gate
+
+
 def minhash_lsh_candidates(
     signatures: DataFrame,
     cfg: DedupConfig,
     id_col: str = "url",
     dedup: bool = True,
     group_col: str | None = None,
+    mode: str = "all",
+    orphans: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: collide in >= 1 of ``cfg.bands`` bands.
     With ``group_col``, the group is part of the bucket key, so candidates never
     cross groups — the reference's per-forum runs (SURVEY U1) as one job, no
-    driver loop over forums."""
+    driver loop over forums. ``mode``/``orphans``: see ``bucket_candidates``."""
     extras = (group_col,) if group_col else ()
     bands = explode_bands(signatures, cfg, id_col, extras)
+    bands, ocarry, ogate = _with_orphan_flag(bands, orphans)
     return bucket_candidates(
         bands,
         "id",
         (*extras, "band", "bh"),
         max_group=cfg.max_band_group,
         dedup=dedup,
+        carry_cols=ocarry,
+        pair_filter=ogate,
         salt_cap=cfg.salt_buckets,
+        mode=mode,
     )
 
 
@@ -236,11 +314,17 @@ def simhash_candidates(
     id_col: str = "url",
     dedup: bool = True,
     group_col: str | None = None,
+    mode: str = "all",
+    orphans: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash candidates: agree on >= 1 of k+1 pieces, then exact Hamming filter
     (bit_count of xor, JVM-side) <= k — applied uniformly to full pairs, star
-    edges (vs the group-min's simhash), and salted sub-bucket pairs.
-    ``group_col`` scopes buckets per group."""
+    edges (vs the group-min's simhash), and salted sub-bucket pairs. Every pair
+    this family emits is therefore ALREADY known Hamming-accepted; its stars
+    carry ``is_star=false`` in base mode (hot SimHash piece buckets are
+    typically 16-bit noise collisions — rejected stars there must not feed the
+    orphan rescue round; see ``bucket_candidates``). ``group_col`` scopes
+    buckets per group; ``mode``/``orphans``: see ``bucket_candidates``."""
     extras = (group_col,) if group_col else ()
     pieces = signatures.select(
         F.col(id_col).alias("id"),
@@ -251,12 +335,16 @@ def simhash_candidates(
         "id", *extras, "simhash",
         F.col("pk.piece").alias("piece"), F.col("pk.pv").alias("pv"),
     )
+    pieces, ocarry, ogate = _with_orphan_flag(pieces, orphans)
+
+    hamming_ok = (
+        F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
+        <= cfg.hamming_k
+    )
 
     def hamming_gate(pairs: DataFrame) -> DataFrame:
-        return pairs.where(
-            F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
-            <= cfg.hamming_k
-        )
+        pairs = pairs.where(hamming_ok)
+        return ogate(pairs) if ogate is not None else pairs
 
     return bucket_candidates(
         pieces,
@@ -264,9 +352,11 @@ def simhash_candidates(
         (*extras, "piece", "pv"),
         max_group=cfg.max_band_group,
         dedup=dedup,
-        carry_cols=("simhash",),
+        carry_cols=("simhash", *ocarry),
         pair_filter=hamming_gate,
         salt_cap=cfg.salt_buckets,
+        mode=mode,
+        star_flag=False,
     )
 
 

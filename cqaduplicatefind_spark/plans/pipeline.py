@@ -51,6 +51,15 @@ class PipelineResult:
     clusters: DataFrame
     overlap_edges: DataFrame | None = None
     stage_metrics: dict = field(default_factory=dict)
+    persisted: list = field(default_factory=list)
+
+    def release(self) -> None:
+        """Unpersist every frame run_pipeline cached (signatures, candidates,
+        base edges, span edges). Call when done consuming the result — repeated
+        pipeline runs in one session leak executor storage otherwise."""
+        for df in self.persisted:
+            df.unpersist()
+        self.persisted.clear()
 
 
 def normalize_stage(
@@ -67,15 +76,18 @@ def normalize_stage(
     # pandas-UDF stages parallelize over partitions; a small input (one parquet
     # file -> one split) would otherwise run the whole normalize+signature chain
     # on a single core. Hash-partition on url (deterministic under retries, unlike
-    # round-robin). The width probe uses the scan's file listing — NOT df.rdd,
-    # which builds the whole RDD conversion per run; in-memory frames (empty
-    # listing) always repartition. At cluster scale input files >> target and
-    # this is a no-op.
+    # round-robin). The width probe uses the scan's file listing first (free for
+    # the parquet/Iceberg scans this stage sees in production — no RDD
+    # conversion); only file-less in-memory frames (tests, bench fixtures) pay
+    # the driver-side df.rdd probe, which avoids re-shuffling an input that is
+    # already wide. At cluster scale input files >> target and this is a no-op.
     try:
-        n_input_files = len(df.inputFiles())
+        n_input = len(df.inputFiles())
     except Exception:
-        n_input_files = 0
-    if n_input_files < cfg.signature_partitions:
+        n_input = 0
+    if n_input == 0:
+        n_input = df.rdd.getNumPartitions()
+    if n_input < cfg.signature_partitions:
         df = df.repartition(cfg.signature_partitions, "url")
     if use_html:
         df = with_extracted_text(df, "html", "text")
@@ -97,8 +109,20 @@ def signature_stage(
 
 
 def candidate_stage(
-    signatures: DataFrame, cfg: DedupConfig, group_col: str | None = None
+    signatures: DataFrame,
+    cfg: DedupConfig,
+    group_col: str | None = None,
+    mode: str = "base",
+    orphans: DataFrame | None = None,
 ) -> DataFrame:
+    """Candidate pairs from both bucket families (MinHash LSH bands + SimHash
+    pigeonhole pieces), one dedup shuffle at the end.
+
+    ``mode="base"`` (the pipeline's first round) emits small-bucket pairs plus
+    star edges tagged ``is_star``; ``mode="rescue"`` with an ``orphans`` (id)
+    table emits hot-bucket salted sub-bucket pairs touching an orphan — the
+    verify feedback loop documented in ``operators/candidates.py``.
+    ``mode="all"`` emits everything in one shot (one-shot/standalone callers)."""
     # both sources skip their internal dedup; one dropDuplicates shuffle at the end
     g = [group_col] if group_col else []
     # docs with zero shingles (fewer than shingle_k tokens) carry the all-MAX_U64
@@ -107,15 +131,23 @@ def candidate_stage(
     # becomes a candidate (and, in verify_evidence="estimate" mode, a false edge).
     signed = signatures.where(F.col("n_shingles") > 0)
     mh = minhash_lsh_candidates(
-        signed.select("url", *g, "minhash"), cfg, dedup=False, group_col=group_col
+        signed.select("url", *g, "minhash"), cfg, dedup=False, group_col=group_col,
+        mode=mode, orphans=orphans,
     )
     sh = simhash_candidates(
         signed.select("url", *g, "simhash"),
         cfg,
         dedup=False,
         group_col=group_col,
+        mode=mode,
+        orphans=orphans,
     )
-    return mh.unionByName(sh).dropDuplicates(["id_a", "id_b"])
+    u = mh.unionByName(sh)
+    if mode == "base":
+        # keep star provenance through the dedup: a pair that is a star edge in
+        # ANY bucket must orphan its endpoints if verify rejects it
+        return u.groupBy("id_a", "id_b").agg(F.max("is_star").alias("is_star"))
+    return u.dropDuplicates(["id_a", "id_b"])
 
 
 def run_pipeline(
@@ -133,6 +165,8 @@ def run_pipeline(
     per-forum corpora, SURVEY U1) — one job over the union, not a driver loop;
     omit for the combined ("full") corpus run."""
 
+    persisted: list = []
+
     def stage(name: str, compute, reused: bool = False):
         if warehouse is None:
             df = compute()
@@ -140,6 +174,7 @@ def run_pipeline(
                 # consumed by several downstream branches (both LSH paths + both
                 # verify sides): persist or the signature UDF chain recomputes 4x
                 df = df.persist()
+                persisted.append(df)
             return df
         return warehouse.get_or_compute(spark, name, compute)
 
@@ -151,13 +186,53 @@ def run_pipeline(
         reused=True,
     )
     candidates = stage(
-        "candidate_pairs", lambda: candidate_stage(signatures, cfg, group_col)
+        "candidate_pairs",
+        lambda: candidate_stage(signatures, cfg, group_col, mode="base"),
+        reused=True,  # feeds scoring AND the rescue round's orphan derivation
     )
     scored = stage(
         "scored_pairs",
         lambda: score_pairs(candidates, signatures, cfg, evidence=cfg.verify_evidence),
     )
-    edges = stage("dup_edges", lambda: accept_edges(scored, cfg))
+    edges = stage("dup_edges", lambda: accept_edges(scored, cfg), reused=True)
+
+    # rescue round (operators/candidates.py module docstring): members of
+    # MinHash-band star edges that verify REJECTED ("orphans") get salted
+    # sub-bucket pairing inside their hot buckets (both bucket families) —
+    # recovering true pairs a heterogeneous hot bucket's star backbone cannot
+    # connect. SimHash stars carry is_star=false (hot piece buckets are noise
+    # collisions; their rejections are expected, not a heterogeneity signal).
+    # On homogeneous corpora (hot bands = one dup family, stars all pass) the
+    # orphan set is empty and the round is skipped: the pipeline pays O(m) per
+    # hot bucket, never C(m,2)/n_sub, unless verify proves a band heterogeneous.
+    has_star = "is_star" in candidates.columns  # absent: pre-upgrade checkpoint
+    rescue_edges = None
+    if has_star:
+        orphans = (
+            candidates.where(F.col("is_star"))
+            .join(edges.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti")
+            .select(F.explode(F.array("id_a", "id_b")).alias("id"))
+            .distinct()
+        )
+        if not orphans.isEmpty():
+            rescue_cands = stage(
+                "rescue_pairs",
+                lambda: candidate_stage(
+                    signatures, cfg, group_col, mode="rescue", orphans=orphans
+                ).join(
+                    candidates.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
+                ),
+            )
+            rescue_edges = stage(
+                "rescue_edges",
+                lambda: accept_edges(
+                    score_pairs(
+                        rescue_cands, signatures, cfg, evidence=cfg.verify_evidence
+                    ),
+                    cfg,
+                ),
+            )
+            edges = edges.unionByName(rescue_edges)
 
     # the suffix-array-analog stage (north_star): exact-span edges for pairs
     # sharing a contiguous run >= min_overlap_span tokens, discovered corpus-wide
@@ -214,6 +289,8 @@ def run_pipeline(
     stage_metrics: dict = {}
     if warehouse is not None:
         tables = ["signatures", "candidate_pairs", "scored_pairs", "dup_edges"]
+        if rescue_edges is not None:
+            tables.extend(["rescue_pairs", "rescue_edges"])
         if overlap_edges is not None:
             tables.extend(["pre_clusters", "overlap_edges"])
         tables.append("clusters")
@@ -221,7 +298,8 @@ def run_pipeline(
             stage_metrics[t] = warehouse.manifest(t).get("row_count")
 
     return PipelineResult(
-        signatures, candidates, scored, edges, clusters, overlap_edges, stage_metrics
+        signatures, candidates, scored, edges, clusters, overlap_edges,
+        stage_metrics, persisted,
     )
 
 

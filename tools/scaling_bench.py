@@ -75,15 +75,16 @@ def once():
     r = run_pipeline(spark, pages, cfg)
     n_clusters = r.clusters.where(F.col("url") != F.col("cluster_id")).count()
     dt = time.perf_counter() - t0
-    r.signatures.unpersist()
     return dt, n_clusters, r
 
-once()  # untimed warmup: heap growth, python workers, codegen
+once()[2].release()  # untimed warmup: heap growth, python workers, codegen
 
 runs = []
 r = None
 for i in range(n_runs):
     time.sleep(cooldown)  # refill the hypervisor burst budget
+    if r is not None:
+        r.release()  # cached frames from the previous run would skew this one
     dt, n_dup, r = once()
     runs.append(round(dt, 2))
 runs_sorted = sorted(runs)
