@@ -243,17 +243,29 @@ def explode_bands(
     )
 
 
-def _with_orphan_flag(exploded: DataFrame, orphans: DataFrame | None):
+def _with_orphan_flag(
+    exploded: DataFrame, orphans: DataFrame | None, key_cols: tuple[str, ...]
+):
     """Left-join an (id) orphan table onto an exploded bucket frame as a boolean
-    ``is_orphan`` carry column; returns (frame, carry, pair_filter) pieces for a
-    rescue-mode bucket_candidates call. The orphan gate keeps only pairs with at
-    least one orphan endpoint — pairs between two verified-connected members add
-    no connectivity (see module docstring)."""
+    ``is_orphan`` carry column, and drop every bucket containing NO orphan (a
+    window max over the bucket key — the same exchange the downstream pairing
+    windows use, so the restriction adds no shuffle). Returns (frame, carry,
+    pair_filter) pieces for a rescue-mode bucket_candidates call. The orphan
+    gate keeps only pairs with at least one orphan endpoint — pairs between two
+    verified-connected members add no connectivity (see module docstring)."""
+    from pyspark.sql import Window
+
     if orphans is None:
         return exploded, (), None
     flag = orphans.select(F.col("id"), F.lit(True).alias("is_orphan"))
     exploded = exploded.join(flag, "id", "left").withColumn(
         "is_orphan", F.coalesce(F.col("is_orphan"), F.lit(False))
+    )
+    w = Window.partitionBy(*key_cols)
+    exploded = (
+        exploded.withColumn("_bucket_has_orphan", F.max("is_orphan").over(w))
+        .where(F.col("_bucket_has_orphan"))
+        .drop("_bucket_has_orphan")
     )
 
     def orphan_gate(pairs: DataFrame) -> DataFrame:
@@ -277,7 +289,7 @@ def minhash_lsh_candidates(
     driver loop over forums. ``mode``/``orphans``: see ``bucket_candidates``."""
     extras = (group_col,) if group_col else ()
     bands = explode_bands(signatures, cfg, id_col, extras)
-    bands, ocarry, ogate = _with_orphan_flag(bands, orphans)
+    bands, ocarry, ogate = _with_orphan_flag(bands, orphans, (*extras, "band", "bh"))
     return bucket_candidates(
         bands,
         "id",
@@ -335,7 +347,7 @@ def simhash_candidates(
         "id", *extras, "simhash",
         F.col("pk.piece").alias("piece"), F.col("pk.pv").alias("pv"),
     )
-    pieces, ocarry, ogate = _with_orphan_flag(pieces, orphans)
+    pieces, ocarry, ogate = _with_orphan_flag(pieces, orphans, (*extras, "piece", "pv"))
 
     hamming_ok = (
         F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))

@@ -152,6 +152,7 @@ def span_candidates(
     text_col: str = "norm_text",
     group_col: str | None = None,
     dedup: bool = True,
+    assignments: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus-level discovery: candidate pairs that MAY share an exact run of
     >= cfg.min_overlap_span tokens (guaranteed superset by the winnowing bound;
@@ -163,7 +164,14 @@ def span_candidates(
 
     When the input carries a precomputed ``span_fps`` column (the signature UDF
     emits it in the same tokenize pass as minhash/simhash), the explode is pure
-    Catalyst — no second pass over the text."""
+    Catalyst — no second pass over the text.
+
+    ``assignments`` (an (id, cluster_id) table) drops same-cluster pairs BEFORE
+    the pair-dedup shuffle: the cluster id is joined once onto the fingerprint
+    rows (n rows, pre-explosion of pairs) and rides the bucket join as a carried
+    column, so on near-duplicate-heavy corpora — where almost every raw span
+    pair is already co-clustered — the dedup shuffle and the per-pair verify
+    only ever see the cross-cluster residue."""
     from cqaduplicatefind_spark.operators.candidates import bucket_candidates
 
     extras = (group_col,) if group_col else ()
@@ -177,12 +185,26 @@ def span_candidates(
         *extras,
         F.explode(fp_col).alias("fp"),
     )
+    carry: tuple[str, ...] = ()
+    pair_filter = None
+    if assignments is not None:
+        # unassigned endpoints are singletons: cluster id defaults to the id
+        fps = fps.join(
+            assignments.select("id", F.col("cluster_id").alias("_cl")), "id", "left"
+        ).withColumn("_cl", F.coalesce(F.col("_cl"), F.col("id")))
+        carry = ("_cl",)
+
+        def pair_filter(pairs: DataFrame) -> DataFrame:
+            return pairs.where(F.col("_cl_a") != F.col("_cl_b"))
+
     return bucket_candidates(
         fps,
         "id",
         (*extras, "fp"),
         max_group=cfg.max_band_group,
         dedup=dedup,
+        carry_cols=carry,
+        pair_filter=pair_filter,
         salt_cap=cfg.salt_buckets,
     )
 
@@ -202,32 +224,16 @@ def exact_span_edges(
     bound that already covers EVERY qualifying pair; no seeding from the Jaccard
     path is needed. ``exclude_assignments`` (an (id, cluster_id) table, typically
     the connected components of the already-accepted LSH edges) drops candidate
-    pairs whose endpoints are ALREADY in one cluster, BEFORE the pair-dedup
-    shuffle and the per-pair span verification: such pairs contribute nothing
-    new to connectivity, and on near-duplicate-heavy corpora they are the
-    overwhelming majority of span candidates — the filter turns the verify step
-    from O(all near-dup pairs) into O(genuinely-new containment pairs)."""
+    pairs whose endpoints are ALREADY in one cluster — such pairs contribute
+    nothing new to connectivity, and on near-duplicate-heavy corpora they are
+    the overwhelming majority of span candidates. The cluster id rides the
+    bucket join as a carried column (see ``span_candidates``), so the exclusion
+    happens before the pair-dedup shuffle and the per-pair verification only
+    ever sees the genuinely-new cross-cluster containment pairs."""
     cands = span_candidates(
         normalized, cfg, id_col, text_col, group_col,
-        dedup=exclude_assignments is None,
+        assignments=exclude_assignments,
     )
-    if exclude_assignments is not None:
-        ca = exclude_assignments.select(
-            F.col("id").alias("id_a"), F.col("cluster_id").alias("_ca")
-        )
-        cb = exclude_assignments.select(
-            F.col("id").alias("id_b"), F.col("cluster_id").alias("_cb")
-        )
-        cands = (
-            cands.join(ca, "id_a", "left")
-            .join(cb, "id_b", "left")
-            # unassigned endpoints are singletons: cluster id defaults to the id
-            .where(
-                F.coalesce("_ca", F.col("id_a")) != F.coalesce("_cb", F.col("id_b"))
-            )
-            .select("id_a", "id_b")
-            .dropDuplicates(["id_a", "id_b"])
-        )
     spans = overlap_spans(cands, normalized, id_col, text_col)
     return spans.where(F.col("overlap_span") >= cfg.min_overlap_span)
 
