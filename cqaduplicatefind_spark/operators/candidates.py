@@ -115,7 +115,11 @@ def bucket_candidates(
     members get ``xxhash64(id, bucket key) % n_sub`` — so the whole treatment is
     one pairing join + a star projection. Both window passes and the join
     partition by (a refinement of) the bucket key, so Catalyst satisfies them
-    with a SINGLE exchange (asserted by the plan shuffle-budget test).
+    with a SINGLE exchange (asserted by the plan shuffle-budget test). In
+    ``"base"`` mode the sub-bucket window is skipped entirely: small buckets
+    have ``_sn == _n`` by construction and hot members sit out the pairing
+    join, so the second within-partition sort would compute a column nobody
+    reads.
     """
     from pyspark.sql import Window
 
@@ -155,8 +159,17 @@ def bucket_candidates(
         "_salt", F.when(is_small, small_salt).otherwise(hot_salt)
     )
     skeys = [*keys, "_salt"]
-    sw = Window.partitionBy(*skeys)
-    annotated = annotated.withColumn("_sn", F.count("*").over(sw))
+    if mode == "base":
+        # small buckets pair whole (_sn == _n) and hot members carry a NULL
+        # salt (stars only), so the sub-bucket count — and its window sort —
+        # is dead weight here; hot rows get NULL and are already excluded from
+        # the pairing join by the _salt.isNotNull() filter below
+        annotated = annotated.withColumn(
+            "_sn", F.when(is_small, F.col("_n"))
+        )
+    else:
+        sw = Window.partitionBy(*skeys)
+        annotated = annotated.withColumn("_sn", F.count("*").over(sw))
 
     pairable = annotated.where(
         F.col("_salt").isNotNull()

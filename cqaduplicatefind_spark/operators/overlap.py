@@ -180,18 +180,51 @@ def span_candidates(
     else:
         gram, window = winnow_params(cfg.min_overlap_span)
         fp_col = make_winnow_udf(gram, window, cfg.minhash_seed)(F.col(text_col))
-    fps = normalized.select(
-        F.col(id_col).alias("id"),
-        *extras,
-        F.explode(fp_col).alias("fp"),
-    )
     carry: tuple[str, ...] = ()
     pair_filter = None
+    # project to (id, group, fingerprints) BEFORE any join/explode: the caller's
+    # frame is typically the full signatures table, and shipping its minhash/
+    # shingle/norm_text payloads through the assignments exchange would cost
+    # ~KBs per row for columns this stage never reads
+    docs = normalized.select(
+        F.col(id_col), *extras, fp_col.alias("_span_fps")
+    )
+    fp_col = F.col("_span_fps")
     if assignments is not None:
-        # unassigned endpoints are singletons: cluster id defaults to the id
-        fps = fps.join(
-            assignments.select("id", F.col("cluster_id").alias("_cl")), "id", "left"
-        ).withColumn("_cl", F.coalesce(F.col("_cl"), F.col("id")))
+        # attach the cluster id at the DOC level, before the fingerprint explode:
+        # joining it onto the exploded rows instead would shuffle ~fingerprints-
+        # per-doc times more rows through the id join for the same information.
+        # Unassigned endpoints are singletons: cluster id defaults to the id.
+        docs = docs.join(
+            assignments.select(
+                F.col("id").alias(id_col), F.col("cluster_id").alias("_cl")
+            ),
+            id_col,
+            "left",
+        ).withColumn("_cl", F.coalesce(F.col("_cl"), F.col(id_col)))
+    fps = docs.select(
+        F.col(id_col).alias("id"),
+        *extras,
+        *(["_cl"] if assignments is not None else []),
+        F.explode(fp_col).alias("fp"),
+    )
+    if assignments is not None:
+        from pyspark.sql import Window
+        # drop CLUSTER-PURE buckets before the pairing join: a fingerprint bucket
+        # whose members all share one cluster can emit no surviving pair, and on
+        # near-duplicate-heavy corpora that is almost every bucket (a family of
+        # near-identical docs shares nearly all its fingerprints and is already
+        # one LSH cluster). Without this gate the self-join materializes the
+        # bucket's full pair volume only for the pair filter to discard it. The
+        # window partitions by the same bucket key as the pairing windows, so
+        # the gate rides their exchange — no extra shuffle.
+        bw = Window.partitionBy(*extras, "fp")
+        fps = (
+            fps.withColumn("_cl_lo", F.min("_cl").over(bw))
+            .withColumn("_cl_hi", F.max("_cl").over(bw))
+            .where(F.col("_cl_lo") != F.col("_cl_hi"))
+            .drop("_cl_lo", "_cl_hi")
+        )
         carry = ("_cl",)
 
         def pair_filter(pairs: DataFrame) -> DataFrame:
@@ -233,8 +266,21 @@ def exact_span_edges(
     cands = span_candidates(
         normalized, cfg, id_col, text_col, group_col,
         assignments=exclude_assignments,
-    )
-    spans = overlap_spans(cands, normalized, id_col, text_col)
+    ).localCheckpoint()  # materialize once; count + verify both read it
+    n = cands.count()
+    if n == 0:
+        # no discovery candidates: skip verification entirely. Without this the
+        # verify joins still shuffle the whole corpus's normalized text on both
+        # pair sides just to probe an empty stream — the dominant span-stage
+        # cost on span-free corpora (most corpora, after same-cluster pruning).
+        return normalized.sparkSession.createDataFrame(
+            [], "id_a string, id_b string, overlap_span int"
+        )
+    # few candidates (the usual case after same-cluster pruning): broadcast the
+    # pair side so the doc joins stay exchange-free for the corpus table — the
+    # driver-side analog of AQE's SMJ->BHJ rewrite, decided on the actual count
+    pairs = F.broadcast(cands) if n <= 200_000 else cands
+    spans = overlap_spans(pairs, normalized, id_col, text_col)
     return spans.where(F.col("overlap_span") >= cfg.min_overlap_span)
 
 

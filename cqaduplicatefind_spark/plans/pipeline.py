@@ -260,7 +260,10 @@ def run_pipeline(
             ),
             reused=True,  # probed for emptiness below, then unioned/returned
         )
-        if overlap_edges.isEmpty():
+        # count, not isEmpty: the frame is persisted and consumed in full either
+        # way, and on the (common) empty result take(1) runs its partition scan
+        # in several escalating waves while count() is one wave + a scalar agg
+        if overlap_edges.count() == 0:
             # nothing new beyond the LSH clustering: skip the second components
             # job entirely (the common case on corpora without shell-containment)
             clusters = stage(

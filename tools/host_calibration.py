@@ -13,13 +13,22 @@ processes (matching the scaling-bench levels):
           SimHash over Arrow-batch-sized chunks) via plain multiprocessing —
           the pipeline's dominant genuine compute, free of Spark overhead.
 
-Efficiency(N->4N) = rate_4N / (4 * rate_N). A full Spark pipeline mixes all
-three profiles plus unavoidable barrier latency; its measured efficiency must
-land between `dram` (worst case) and `cpu` (best case) on this host. See
-BASELINE.md for how these ceilings map to a real N -> 4N executor cluster,
-where each executor brings its own DRAM and the `dram` wall does not exist.
+Protocol (same per-trial interleaving as ``tools/scaling_bench.py``, and for the
+same reason): the host's CPU delivery drifts over minutes (hypervisor burst
+credit — this very benchmark measured pure-CPU 1->4 efficiency at 0.69 in one
+window and 1.03 in another), so comparing levels measured minutes apart compares
+two different hosts. Each trial measures every level back-to-back inside one
+short window and the N->4N efficiency rate_4N / (4 * rate_N) is computed WITHIN
+the trial; the report carries the per-trial lists plus median and min.
+
+A full Spark pipeline mixes all three profiles plus unavoidable barrier latency;
+its measured efficiency must land between `dram` (worst case) and `cpu` (best
+case) on this host. See BASELINE.md for how these ceilings map to a real N -> 4N
+executor cluster, where each executor brings its own DRAM and the `dram` wall
+does not exist.
 
 Usage: python tools/host_calibration.py [out_json]
+Env: SPARK_GRAFT_CAL_TRIALS (default 3), SPARK_GRAFT_CAL_SECONDS (default 6).
 """
 
 from __future__ import annotations
@@ -34,7 +43,8 @@ import time
 import numpy as np
 
 LEVELS = (1, 4, 16)
-SECONDS = 8.0
+SECONDS = float(os.environ.get("SPARK_GRAFT_CAL_SECONDS", "6"))
+N_TRIALS = int(os.environ.get("SPARK_GRAFT_CAL_TRIALS", "3"))
 
 
 def _pin(worker_idx: int) -> None:
@@ -93,33 +103,60 @@ def kernel_work(idx: int) -> int:
     return batches
 
 
-def measure(work, nproc: int) -> float:
-    """Aggregate work-units/sec at nproc pinned workers (max of 2 trials)."""
-    best = 0.0
-    with mp.Pool(nproc) as pool:
-        pool.map(work, range(nproc))  # warmup (imports, allocations)
-        for _ in range(2):
-            t0 = time.perf_counter()
-            res = pool.map(work, range(nproc))
-            # workers run for a fixed wall window; rate = total units / window
-            best = max(best, sum(res) / (time.perf_counter() - t0))
-    return round(best, 1)
-
-
 def main():
     out_json = sys.argv[1] if len(sys.argv) > 1 else "CALIBRATION.json"
-    report: dict = {"levels": list(LEVELS), "seconds_per_trial": SECONDS}
+    report: dict = {
+        "levels": list(LEVELS),
+        "seconds_per_trial": SECONDS,
+        "n_trials": N_TRIALS,
+        "protocol": (
+            "persistent pinned worker pool per level; levels measured "
+            "back-to-back within each trial; N->4N efficiency computed per "
+            "trial (host speed drifts across minutes, so cross-trial ratios "
+            "would compare different hosts); median of per-trial efficiencies "
+            "headline, full lists + min alongside"
+        ),
+    }
     for name, fn in (("cpu", cpu_work), ("dram", dram_work), ("kernel", kernel_work)):
-        rates = {str(n): measure(fn, n) for n in LEVELS}
-        effs = {}
+        pools = {n: mp.Pool(n) for n in LEVELS}
+        for n, pool in pools.items():
+            pool.map(fn, range(n))  # warmup (imports, allocations, page faults)
+        trials: list[dict] = []
+        for _ in range(N_TRIALS):
+            rates: dict[str, float] = {}
+            for n in LEVELS:
+                t0 = time.perf_counter()
+                res = pools[n].map(fn, range(n))
+                rates[str(n)] = round(sum(res) / (time.perf_counter() - t0), 1)
+            trial = {"rates_per_sec": rates}
+            for lo, hi in zip(LEVELS, LEVELS[1:]):
+                if hi == 4 * lo:
+                    trial[f"eff_{lo}_to_{hi}"] = round(
+                        rates[str(hi)] / (4 * rates[str(lo)]), 3
+                    )
+            trials.append(trial)
+            time.sleep(5)
+        for pool in pools.values():
+            pool.terminate()
+        summary: dict = {"trials": trials}
         for lo, hi in zip(LEVELS, LEVELS[1:]):
             if hi == 4 * lo:
-                effs[f"eff_{lo}_to_{hi}"] = round(
-                    rates[str(hi)] / (4 * rates[str(lo)]), 3
-                )
-        report[name] = {"rates_per_sec": rates, **effs}
-        print(name, report[name], flush=True)
-        time.sleep(20)  # refill burst budget between profiles
+                effs = sorted(t[f"eff_{lo}_to_{hi}"] for t in trials)
+                summary[f"eff_{lo}_to_{hi}"] = effs[len(effs) // 2]
+                summary[f"eff_{lo}_to_{hi}_min"] = effs[0]
+                summary[f"eff_{lo}_to_{hi}_trials"] = [
+                    t[f"eff_{lo}_to_{hi}"] for t in trials
+                ]
+        # median rates across trials, per level (for the BASELINE.md table)
+        summary["rates_per_sec"] = {
+            str(n): sorted(t["rates_per_sec"][str(n)] for t in trials)[
+                N_TRIALS // 2
+            ]
+            for n in LEVELS
+        }
+        report[name] = summary
+        print(name, json.dumps(summary), flush=True)
+        time.sleep(15)  # refill burst budget between profiles
     json.dump(report, open(out_json, "w"), indent=2)
 
 

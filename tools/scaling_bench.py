@@ -1,35 +1,49 @@
 """Scaling-evidence protocol (BASELINE.md): run the identical full dedup pipeline
-at three pinned parallelism levels (local[1], local[4], local[16]) on the same
-input; report docs/sec at each, the N->4N scaling efficiencies
-R_4N / (4 * R_N) for both adjacent pairs, and verify the cluster assignments are
-identical across levels (determinism check).
+at pinned parallelism levels (local[1], local[4], local[16]) on the same input;
+report docs/sec at each, the N->4N scaling efficiencies R_4N / (4 * R_N), and
+verify the cluster assignments are identical across every run at every level
+(determinism check).
 
-Why two pairs: `tools/host_calibration.py` shows this sandbox VM provisions real
-4x resources only from 1 -> 4 cores (pure-CPU x4.0, streaming-DRAM x4.0); beyond
-~4 concurrent streams the host's memory system is saturated (16 processes move
-LESS aggregate data than 4), so 4 -> 16 measures the hypervisor's memory wall,
-not the software. Both numbers are reported; 1 -> 4 is the pair where the
-hardware can actually deliver what a real N -> 4N executor cluster would
-(per-executor CPUs *and* per-executor DRAM).
+Why per-trial interleaving (the round-2 protocol fix): this sandbox VM's CPU
+delivery varies over time (hypervisor burst credit — `tools/host_calibration.py`
+measured the SAME pure-CPU spin loop scaling 1->4 at 0.69 in one window and 1.03
+in another). Running all of level A's repetitions, then all of level B's —
+minutes apart — makes the efficiency ratio compare two different hosts, which is
+exactly why the round-1 committed artifact (0.716) disagreed with the prior run
+of the same code (0.846). Here every trial runs local[1], local[4], local[16]
+back-to-back inside the same ~5-minute window and the efficiency is computed
+WITHIN the trial, so host drift cancels out of the ratio; the summary reports
+the per-trial ratio list plus its median and min. A 1-second pinned spin probe
+before each timed run records the host's instantaneous speed as throttle
+evidence alongside each measurement.
 
-Methodology (each measured, see BASELINE.md):
-- fresh subprocess per level (Spark masters are fixed per JVM), pinned with
-  `taskset -c 0..N-1` so local[N] really owns N cores (JVM + Python size their
-  pools from sched_getaffinity);
-- one untimed warmup run per level (JVM heap growth shows up as kernel
-  page-fault storms otherwise), then timed runs separated by idle cool-downs
-  that refill the hypervisor's burst budget; minimum reported;
+Mechanics:
+- one persistent child process per level, pinned with `taskset -c 0..N-1` so
+  local[N] really owns N cores (JVM + Python size their pools from
+  sched_getaffinity); each child builds its session once, warms the JVM +
+  Python worker pool, caches the corpus, and does one untimed warmup pipeline
+  run (heap growth shows up as kernel page-fault storms otherwise);
+- the parent then drives trials over stdin/stdout: each trial = one timed run
+  per level in ascending order, short idle gaps between runs;
 - modest fixed heap (6g) at every level: bigger heaps make the host's page
   management pathological (measured 2.2x wall at 32g);
 - AQE disabled for the bench: at toy scale its per-exchange materialization
   barriers add ~4.5s of pure latency per run; at cluster scale the same flag is
   a win (skew-join splitting) and the pipeline's explicit band-group salting
-  handles the hot-band skew either way.
+  handles the hot-band skew either way;
+- cluster checksums from every run at every level must agree (results are
+  parallelism-independent).
+
+1->4 is the pair where the hardware can actually deliver what a real N->4N
+executor cluster would: beyond ~4 concurrent streams the host's memory system
+saturates (16 processes move LESS aggregate data than 4 — CALIBRATION.json), so
+4->16 measures the hypervisor's memory wall, not the software. Both are
+reported.
 
 Usage: python tools/scaling_bench.py [sf_dir] [out_json]
 Env: SPARK_GRAFT_SCALE_LEVELS (default "1,4,16"), SPARK_GRAFT_SCALE_REPLICATE
-(default 60 -> 300k docs at sf0.1), SPARK_GRAFT_SCALE_COOLDOWN (default 40s),
-SPARK_GRAFT_SCALE_RUNS (default 2 timed runs per level).
+(default 60 -> 300k docs at sf0.1), SPARK_GRAFT_SCALE_TRIALS (default 3),
+SPARK_GRAFT_SCALE_GAP (idle seconds between runs, default 10).
 """
 
 from __future__ import annotations
@@ -38,10 +52,11 @@ import json
 import os
 import subprocess
 import sys
+import time
 
 REPLICATE = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICATE", "60"))
-COOLDOWN_SEC = int(os.environ.get("SPARK_GRAFT_SCALE_COOLDOWN", "40"))
-N_RUNS = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "3"))
+N_TRIALS = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "3"))
+GAP_SEC = int(os.environ.get("SPARK_GRAFT_SCALE_GAP", "10"))
 
 CHILD = r"""
 import json, sys, time
@@ -52,11 +67,18 @@ from cqaduplicatefind_spark.session import build_session
 from cqaduplicatefind_spark.plans.pipeline import run_pipeline
 from bench import make_pages, _warmup
 
-cpus, sf_dir, out_path = int(sys.argv[1]), sys.argv[2], sys.argv[3]
-replicate, cooldown, n_runs = int(sys.argv[4]), int(sys.argv[5]), int(sys.argv[6])
+cpus, sf_dir, replicate = int(sys.argv[1]), sys.argv[2], int(sys.argv[3])
+# the JOB is held constant across levels (strong scaling: same plan, same
+# shuffle width = the production default 32); only the core count varies. A
+# per-level-tuned width would compare different physical plans: local[1] with
+# shuffle_partitions=1 satisfies every required distribution with its single
+# partition, so Catalyst elides every exchange and the baseline never pays
+# shuffle serialization at all — inflating apparent 1-core throughput by the
+# entire shuffle machinery the parallel levels must run (measured ~15% of the
+# 1-core wall). A real N -> 4N executor comparison runs one fixed job config.
 spark = build_session(
     app_name=f"scaling-{cpus}", master=f"local[{cpus}]",
-    shuffle_partitions=cpus,
+    shuffle_partitions=32,
     extra={
         "spark.ui.enabled": "false",
         "spark.driver.memory": "6g",
@@ -66,43 +88,97 @@ spark = build_session(
 spark.sparkContext.setLogLevel("ERROR")
 _warmup(spark, cpus)
 cfg = DedupConfig(shingle_k=3, jaccard_threshold=0.7,
-                  shuffle_partitions=cpus, signature_partitions=cpus)
+                  shuffle_partitions=32, signature_partitions=32)
 pages = make_pages(spark, sf_dir, replicate=replicate).cache()
 n = pages.count()
 
 def once():
     t0 = time.perf_counter()
     r = run_pipeline(spark, pages, cfg)
-    n_clusters = r.clusters.where(F.col("url") != F.col("cluster_id")).count()
+    n_dup = r.clusters.where(F.col("url") != F.col("cluster_id")).count()
     dt = time.perf_counter() - t0
-    return dt, n_clusters, r
+    # checksum outside the timed region: CC output is localCheckpointed, so this
+    # re-reads the checkpoint, not the pipeline
+    checksum = (
+        r.clusters.select(F.xxhash64("url", "cluster_id").alias("h"))
+        .agg(F.bit_xor("h")).collect()[0][0]
+    )
+    r.release()
+    return dt, n_dup, checksum
 
-once()[2].release()  # untimed warmup: heap growth, python workers, codegen
-
-runs = []
-r = None
-for i in range(n_runs):
-    time.sleep(cooldown)  # refill the hypervisor burst budget
-    if r is not None:
-        r.release()  # cached frames from the previous run would skew this one
-    dt, n_dup, r = once()
-    runs.append(round(dt, 2))
-runs_sorted = sorted(runs)
-dt = runs_sorted[0]
-dt_median = runs_sorted[len(runs_sorted) // 2]
-checksum = (
-    r.clusters.select(F.xxhash64("url", "cluster_id").alias("h"))
-    .agg(F.bit_xor("h")).collect()[0][0]
-)
-json.dump(
-    {"cpus": cpus, "n_docs": n, "wall_sec": dt, "wall_sec_median": dt_median,
-     "runs_sec": runs, "docs_per_sec": round(n / dt, 1),
-     "docs_per_sec_median": round(n / dt_median, 1),
-     "n_nontrivial_members": n_dup, "cluster_checksum": checksum},
-    open(out_path, "w"),
-)
+# TWO untimed warmup runs: the first pays heap growth, python workers, and
+# codegen; the second still runs ~10% above steady state (block-manager and
+# shuffle-service warmup) and absorbing it keeps trial 0 comparable to the rest
+wdt, _, _ = once()
+wdt2, _, _ = once()
+print("READY " + json.dumps(
+    {"cpus": cpus, "n_docs": n,
+     "warmup_sec": [round(wdt, 2), round(wdt2, 2)]}), flush=True)
+for line in sys.stdin:
+    cmd = line.strip()
+    if cmd == "RUN":
+        dt, n_dup, checksum = once()
+        print("RESULT " + json.dumps(
+            {"wall_sec": round(dt, 2), "n_nontrivial_members": n_dup,
+             "cluster_checksum": checksum}), flush=True)
+    elif cmd == "EXIT":
+        break
 spark.stop()
 """
+
+
+def _await(proc: subprocess.Popen, prefix: str) -> dict:
+    """Read child stdout until a `<prefix> {json}` line (Spark banners ignored)."""
+    while True:
+        line = proc.stdout.readline()
+        if not line:
+            raise RuntimeError(f"child died awaiting {prefix}")
+        if line.startswith(prefix + " "):
+            return json.loads(line[len(prefix) + 1:])
+
+
+def _spin_rate(duration: float = 1.0) -> float:
+    """Pinned single-core spin rate — instantaneous host-speed probe (the parent
+    is pinned to the last core, away from every child's 0..N-1 pin)."""
+    t_end = time.perf_counter() + duration
+    n, x = 0, 1.0001
+    while time.perf_counter() < t_end:
+        for _ in range(10_000):
+            x = x * 1.0000001 % 1e9
+        n += 1
+    return round(n / duration, 1)
+
+
+class _SpinSampler:
+    """Samples the host's instantaneous single-core speed on the parent's core
+    for the whole duration of a child's timed run. The mean sample during a run
+    is the measured host speed for that run; the ratio of two runs' means is the
+    measured drift between them. This turns the hypervisor's time-varying CPU
+    delivery (spin rate observed swinging 1147-2167/s across minutes on this
+    box) from an uncontrolled confound into a recorded, correctable quantity."""
+
+    def __init__(self):
+        import threading
+
+        self._samples: list[float] = []
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+
+    def _loop(self):
+        while not self._stop.is_set():
+            self._samples.append(_spin_rate(0.5))
+
+    def __enter__(self):
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        self._thread.join()
+
+    @property
+    def mean(self) -> float:
+        return round(sum(self._samples) / max(len(self._samples), 1), 1)
 
 
 def main():
@@ -114,39 +190,123 @@ def main():
         int(x)
         for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "1,4,16").split(",")
     ]
-    results = {}
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:  # park the parent on the last core, clear of the children's pins
+        os.sched_setaffinity(0, {os.cpu_count() - 1})
+    except OSError:
+        pass
+
+    procs: dict[int, subprocess.Popen] = {}
+    ready: dict[int, dict] = {}
+    try:
+        # start + warm sequentially: concurrent warmups would contend for cores
+        for cpus in levels:
+            p = subprocess.Popen(
+                ["taskset", "-c", f"0-{cpus - 1}",
+                 sys.executable, "-c", CHILD, str(cpus), sf_dir, str(REPLICATE)],
+                cwd=repo, stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+                text=True, bufsize=1,
+            )
+            procs[cpus] = p
+            ready[cpus] = _await(p, "READY")
+            print(f"level local[{cpus}] ready: {ready[cpus]}", file=sys.stderr)
+
+        trials: list[dict] = []
+        for t in range(N_TRIALS):
+            trial: dict = {"runs": {}, "spin_rate": {}}
+            for cpus in levels:
+                time.sleep(GAP_SEC)
+                procs[cpus].stdin.write("RUN\n")
+                procs[cpus].stdin.flush()
+                with _SpinSampler() as sampler:
+                    trial["runs"][str(cpus)] = _await(procs[cpus], "RESULT")
+                trial["spin_rate"][str(cpus)] = sampler.mean
+            for lo, hi in zip(levels, levels[1:]):
+                if hi == 4 * lo:
+                    trial[f"eff_{lo}_to_{hi}"] = round(
+                        trial["runs"][str(lo)]["wall_sec"]
+                        / (4 * trial["runs"][str(hi)]["wall_sec"]), 3,
+                    )
+                    # host-speed-corrected: wall times rescaled by the measured
+                    # mean host speed DURING each run (wall * speed = work), so
+                    # drift between the two runs cancels by measurement
+                    trial[f"eff_{lo}_to_{hi}_normalized"] = round(
+                        (trial["runs"][str(lo)]["wall_sec"]
+                         * trial["spin_rate"][str(lo)])
+                        / (4 * trial["runs"][str(hi)]["wall_sec"]
+                           * trial["spin_rate"][str(hi)]), 3,
+                    )
+            trials.append(trial)
+            print(f"trial {t}: " + json.dumps(trial), file=sys.stderr)
+    finally:
+        for p in procs.values():
+            try:
+                p.stdin.write("EXIT\n")
+                p.stdin.flush()
+            except OSError:
+                pass
+        for p in procs.values():
+            p.wait(timeout=120)
+
+    summary: dict = {}
+    n_docs = ready[levels[0]]["n_docs"]
     for cpus in levels:
-        out = f"/tmp/scaling_{cpus}.json"
-        subprocess.run(
-            ["taskset", "-c", f"0-{cpus - 1}",
-             sys.executable, "-c", CHILD, str(cpus), sf_dir, out,
-             str(REPLICATE), str(COOLDOWN_SEC), str(N_RUNS)],
-            check=True,
-            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        )
-        results[str(cpus)] = json.load(open(out))
-    summary: dict = {f"local{c}": results[str(c)] for c in levels}
+        walls = sorted(t["runs"][str(cpus)]["wall_sec"] for t in trials)
+        best, med = walls[0], walls[len(walls) // 2]
+        summary[f"local{cpus}"] = {
+            "cpus": cpus,
+            "n_docs": n_docs,
+            "wall_sec": best,
+            "wall_sec_median": med,
+            "runs_sec": [t["runs"][str(cpus)]["wall_sec"] for t in trials],
+            "docs_per_sec": round(n_docs / best, 1),
+            "docs_per_sec_median": round(n_docs / med, 1),
+            "n_nontrivial_members": trials[0]["runs"][str(cpus)][
+                "n_nontrivial_members"
+            ],
+        }
     for lo, hi in zip(levels, levels[1:]):
         if hi == 4 * lo:
-            eff = results[str(hi)]["docs_per_sec"] / (
-                4 * results[str(lo)]["docs_per_sec"]
-            )
-            summary[f"scaling_efficiency_{lo}_to_{hi}"] = round(eff, 3)
-            eff_med = results[str(hi)]["docs_per_sec_median"] / (
-                4 * results[str(lo)]["docs_per_sec_median"]
-            )
-            summary[f"scaling_efficiency_{lo}_to_{hi}_median"] = round(eff_med, 3)
-    checksums = {results[str(c)]["cluster_checksum"] for c in levels}
+            effs = sorted(t[f"eff_{lo}_to_{hi}"] for t in trials)
+            summary[f"scaling_efficiency_{lo}_to_{hi}"] = effs[len(effs) // 2]
+            summary[f"scaling_efficiency_{lo}_to_{hi}_trials"] = [
+                t[f"eff_{lo}_to_{hi}"] for t in trials
+            ]
+            summary[f"scaling_efficiency_{lo}_to_{hi}_min"] = effs[0]
+            neffs = sorted(t[f"eff_{lo}_to_{hi}_normalized"] for t in trials)
+            summary[f"scaling_efficiency_{lo}_to_{hi}_normalized"] = neffs[
+                len(neffs) // 2
+            ]
+            summary[f"scaling_efficiency_{lo}_to_{hi}_normalized_trials"] = [
+                t[f"eff_{lo}_to_{hi}_normalized"] for t in trials
+            ]
+            summary[f"scaling_efficiency_{lo}_to_{hi}_normalized_min"] = neffs[0]
+    checksums = {
+        t["runs"][str(c)]["cluster_checksum"] for t in trials for c in levels
+    }
     summary["deterministic_clusters"] = len(checksums) == 1
+    summary["cluster_checksum"] = trials[0]["runs"][str(levels[0])][
+        "cluster_checksum"
+    ]
+    summary["host_spin_rates"] = [t["spin_rate"] for t in trials]
     summary["sf_dir"] = sf_dir
     summary["protocol"] = (
-        "pinned cores (taskset), fresh JVM per level, 6g heap, AQE off at bench "
-        f"scale, 1 untimed warmup run, {N_RUNS} timed runs with {COOLDOWN_SEC}s "
-        "idle cool-downs, min reported; see BASELINE.md + CALIBRATION.json for "
-        "the host's own scaling ceilings"
+        "persistent pinned child per level (taskset, fresh JVM, 6g heap, AQE "
+        "off at bench scale, untimed warmup run), levels interleaved per trial "
+        f"so each efficiency ratio is computed within one ~5-min host window; "
+        f"{N_TRIALS} trials, {GAP_SEC}s idle gaps, median-of-trial-ratios "
+        "headline with the full per-trial list + min alongside; the parent "
+        "continuously samples pinned single-core spin rate on its own core "
+        "DURING every run, and the *_normalized efficiencies rescale each wall "
+        "time by the measured mean host speed during that run (the hypervisor's "
+        "CPU delivery drifts 1.1-2.2k spin/s across minutes on this box — "
+        "measured, not assumed); see BASELINE.md + CALIBRATION.json for the "
+        "host's own scaling ceilings"
     )
     print(json.dumps(summary, indent=2))
-    json.dump(summary, open(out_json, "w"), indent=2)
+    with open(os.path.join(repo, out_json) if not os.path.isabs(out_json)
+              else out_json, "w") as f:
+        json.dump(summary, f, indent=2)
 
 
 if __name__ == "__main__":
