@@ -960,6 +960,66 @@ def q_pipeline_pairs(spark, sf):
     return result.edges.select("id_a", "id_b")
 
 
+@_register(
+    "dedup_pipeline_accepted_edges",
+    """
+    WITH toks AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id, string_split(text, ' ') AS t
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, t, unnest(range(len(t) - 2)) AS i
+      FROM toks WHERE len(t) >= 3
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(list_slice(t, i + 1, i + 3), ' ') AS g
+      FROM s
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.7
+    """,
+)
+def q_pipeline_accepted_edges(spark, sf):
+    """The FLAGSHIP pipeline's accepted duplicate-edge set, hash-matched against
+    a brute-force DuckDB oracle. Config reduces duplicate semantics to the
+    SQL-expressible core: input treated as pre-normalized (stopword/stemmer
+    normalization has no SQL twin), SimHash-Hamming and containment accept arms
+    off, so ``run_pipeline``'s dup_edges must be EXACTLY the pairs with
+    distinct-3-token-shingle Jaccard >= 0.7 — candidate generation (LSH bands +
+    SimHash pieces + star/rescue rounds) and exact verification all run for
+    real; 32x4 banding puts the LSH collision probability at threshold above
+    0.9998 so the oracle equality is deterministic for this corpus."""
+    from cqaduplicatefind_spark.plans.pipeline import run_pipeline
+
+    docs = _read(spark, sf, "documents")
+    pages = docs.select(F.col("doc_id").cast("string").alias("url"), "text")
+    cfg = DedupConfig(
+        shingle_k=3,
+        jaccard_threshold=0.7,
+        bands=32,
+        rows_per_band=4,
+        normalize_input=False,
+        accept_hamming=False,
+        containment_accept=None,
+        span_pass=False,
+        verify_evidence="exact",
+    )
+    result = run_pipeline(spark, pages, cfg)
+    return result.edges.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------

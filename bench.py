@@ -126,12 +126,22 @@ def bench_pipeline(spark, sf_dir: str) -> dict[str, float]:
 
     from dataclasses import replace
 
-    t1, _ = _cooled(_full(replace(cfg, span_pass=False)))
-    t2, _ = _cooled(_full(replace(cfg, span_pass=False)))
-    times["full_pipeline"] = min(t1, t2)
-    t1, _ = _cooled(_full(cfg))
-    t2, _ = _cooled(_full(cfg))
-    times["full_pipeline_with_span"] = min(t1, t2)
+    # Protocol (round-2 postmortem): one UNTIMED complete-flagship run first —
+    # the first pipeline execution pays JVM codegen for the CC star operators,
+    # shuffle-service setup, and block-manager warm-up that no later run pays,
+    # and min-of-2 without a warm-up let those cold costs land entirely on
+    # whichever flavor ran first (r2 artifact: span-free 37.0s SLOWER than the
+    # strictly-heavier with-span 21.7s). Then min-of-3 with the two flavors
+    # INTERLEAVED, so any hypervisor throttling window hits both flavors alike.
+    _cooled(_full(cfg))  # untimed warm-up (with span: superset of both flavors)
+    t_nospan, t_span = [], []
+    for _ in range(3):
+        t, _n = _cooled(_full(replace(cfg, span_pass=False)))
+        t_nospan.append(t)
+        t, _n = _cooled(_full(cfg))
+        t_span.append(t)
+    times["full_pipeline"] = min(t_nospan)
+    times["full_pipeline_with_span"] = min(t_span)
     times["_n_docs"] = n_docs
 
     pages.unpersist()

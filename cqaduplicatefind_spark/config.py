@@ -27,6 +27,11 @@ class DedupConfig:
     # --- shingling ---
     shingle_k: int = 5           # tokens per shingle (w-shingling over normalized tokens)
     lowercase: bool = True
+    # False = trust the input text column as ALREADY normalized (tokenized,
+    # single-spaced) and skip the reference normalization pass — for corpora
+    # pre-cleaned upstream, and for oracle queries whose SQL twin cannot
+    # express stopword removal + Porter2 stemming
+    normalize_input: bool = True
 
     # --- MinHash ---
     num_perms: int = 128         # north_star: "128-perm MinHash per Arrow batch"
@@ -43,6 +48,13 @@ class DedupConfig:
 
     # --- verification ---
     jaccard_threshold: float = 0.8   # exact-verify cutoff for an edge
+    # accept-arm toggles (accept_edges): an edge is accepted on exact Jaccard >=
+    # jaccard_threshold, OR (accept_hamming) SimHash Hamming <= hamming_k, OR
+    # (containment_accept not None) containment >= containment_accept. Disabling
+    # the latter two reduces duplicate semantics to pure set-Jaccard — the
+    # SQL-expressible form the driver oracle checks.
+    accept_hamming: bool = True
+    containment_accept: float | None = 0.95
     min_overlap_span: int = 50       # tokens: exact-span pass (substring containment)
     # corpus-level winnowing-fingerprint pass: discovers pairs sharing an exact
     # contiguous run >= min_overlap_span tokens even when their Jaccard is far

@@ -117,9 +117,15 @@ def connected_components(
     spark = edges.sparkSession
     before = _persistent_rdd_ids(spark)
     cur = (
+        # canonical orientation is larger -> smaller (id_a > id_b): that is the
+        # converged star-forest form, so an input that is ALREADY an assignment
+        # table (member -> component-min, e.g. re-clustering prior assignments
+        # plus a few new edges) passes _is_star_forest immediately and runs
+        # zero rounds. least-first orientation would force one full round on
+        # every input because check 1 (id_a > id_b) could never hold.
         edges.select(
-            F.least("id_a", "id_b").alias("id_a"),
-            F.greatest("id_a", "id_b").alias("id_b"),
+            F.greatest("id_a", "id_b").alias("id_a"),
+            F.least("id_a", "id_b").alias("id_b"),
         )
         .where(F.col("id_a") != F.col("id_b"))
         .distinct()

@@ -249,6 +249,7 @@ def exact_span_edges(
     id_col: str = "url",
     text_col: str = "norm_text",
     group_col: str | None = None,
+    persisted: list | None = None,
 ) -> DataFrame:
     """The pipeline's suffix-array-analog stage: (id_a, id_b, overlap_span) edges
     for pairs sharing an exact contiguous run >= cfg.min_overlap_span tokens.
@@ -262,7 +263,14 @@ def exact_span_edges(
     the overwhelming majority of span candidates. The cluster id rides the
     bucket join as a carried column (see ``span_candidates``), so the exclusion
     happens before the pair-dedup shuffle and the per-pair verification only
-    ever sees the genuinely-new cross-cluster containment pairs."""
+    ever sees the genuinely-new cross-cluster containment pairs.
+
+    The candidate set is localCheckpoint'ed (count + verify both read it);
+    pass ``persisted`` (a list) to receive the checkpointed frame and
+    ``unpersist()`` it once the returned spans are materialized —
+    ``run_pipeline`` hands it to ``PipelineResult.persisted`` so ``release()``
+    frees it. Without this each call pins the checkpoint in executor storage
+    for the session lifetime."""
     cands = span_candidates(
         normalized, cfg, id_col, text_col, group_col,
         assignments=exclude_assignments,
@@ -273,9 +281,13 @@ def exact_span_edges(
         # verify joins still shuffle the whole corpus's normalized text on both
         # pair sides just to probe an empty stream — the dominant span-stage
         # cost on span-free corpora (most corpora, after same-cluster pruning).
+        # The empty result never reads cands again: free its blocks now.
+        cands.unpersist()
         return normalized.sparkSession.createDataFrame(
             [], "id_a string, id_b string, overlap_span int"
         )
+    if persisted is not None:
+        persisted.append(cands)
     # few candidates (the usual case after same-cluster pruning): broadcast the
     # pair side so the doc joins stay exchange-free for the corpus table — the
     # driver-side analog of AQE's SMJ->BHJ rewrite, decided on the actual count

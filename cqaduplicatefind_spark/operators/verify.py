@@ -165,9 +165,13 @@ def score_pairs(
 
 def accept_edges(scored: DataFrame, cfg: DedupConfig) -> DataFrame:
     """Thresholded duplicate edges: exact Jaccard >= threshold, OR near-zero Hamming
-    (SimHash path), OR high containment (substring pairs for the overlap pass)."""
-    return scored.where(
-        (F.col("jaccard") >= F.lit(cfg.jaccard_threshold))
-        | (F.col("hamming") <= F.lit(cfg.hamming_k))
-        | (F.col("containment") >= F.lit(0.95))
-    ).select("id_a", "id_b", "jaccard", "est_jaccard", "hamming", "containment")
+    (SimHash path, ``cfg.accept_hamming``), OR high containment (substring pairs
+    for the overlap pass, ``cfg.containment_accept``)."""
+    accept = F.col("jaccard") >= F.lit(cfg.jaccard_threshold)
+    if cfg.accept_hamming:
+        accept = accept | (F.col("hamming") <= F.lit(cfg.hamming_k))
+    if cfg.containment_accept is not None:
+        accept = accept | (F.col("containment") >= F.lit(cfg.containment_accept))
+    return scored.where(accept).select(
+        "id_a", "id_b", "jaccard", "est_jaccard", "hamming", "containment"
+    )

@@ -92,6 +92,10 @@ def normalize_stage(
     if use_html:
         df = with_extracted_text(df, "html", "text")
     keep = ["url"] + ([group_col] if group_col else []) + ["norm_text"]
+    if not cfg.normalize_input:
+        # input is declared already-normalized (tokenized, single-spaced):
+        # skip the reference normalization pass entirely
+        return df.withColumn("norm_text", F.col("text")).select(*keep)
     return with_normalized_text(df, "text", "norm_text").select(*keep)
 
 
@@ -214,7 +218,12 @@ def run_pipeline(
             .select(F.explode(F.array("id_a", "id_b")).alias("id"))
             .distinct()
         )
-        if not orphans.isEmpty():
+        # count, not isEmpty: orphans is usually EMPTY (homogeneous corpora),
+        # and take(1) on an empty frame runs its scan in several escalating
+        # waves — each wave re-driving the candidate+verify mega-job's final
+        # stage. count() is one wave plus a scalar agg, and it materializes
+        # the persisted candidates/edges caches the rescue branch reads anyway.
+        if orphans.count() > 0:
             rescue_cands = stage(
                 "rescue_pairs",
                 lambda: candidate_stage(
@@ -256,7 +265,7 @@ def run_pipeline(
             "overlap_edges",
             lambda: exact_span_edges(
                 signatures, cfg, exclude_assignments=pre_assign,
-                group_col=group_col,
+                group_col=group_col, persisted=persisted,
             ),
             reused=True,  # probed for emptiness below, then unioned/returned
         )

@@ -15,12 +15,26 @@ Design (the part that must stay sub-linear per batch at 10^12 docs):
   signature payloads (128-lane minhash, shingle arrays) are stored separately and
   are touched only for ids that actually appear in candidate pairs;
 - candidate generation handles intra-batch duplicates and batch-vs-index matches
-  in ONE skew-capped pass: the union of (index bands, new bands) goes through the
-  same ``bucket_candidates`` kernel as batch mode, with an ``is_new`` flag carried
-  to both pair sides and pairs between two index docs filtered out (they were
-  reported when the younger of the two arrived). Match results are therefore
-  independent of micro-batch boundaries — a duplicate pair arriving within one
-  batch is found exactly like one split across batches;
+  in ONE skew-capped pass: the union of (TOUCHED index bands, new bands) goes
+  through the same ``bucket_candidates`` kernel as batch mode, with an ``is_new``
+  flag carried to both pair sides and pairs between two index docs filtered out
+  (they were reported when the younger of the two arrived). Match results are
+  therefore independent of micro-batch boundaries — a duplicate pair arriving
+  within one batch is found exactly like one split across batches;
+- **per-batch pairing work is bounded by TOUCHED buckets, not the index**: the
+  accumulated band table is semi-joined on the batch's distinct ``(band, bh)``
+  keys before entering the pairing kernel, so the kernel's bucket-size windows
+  and self-join shuffle only the buckets this batch can possibly pair in.
+  Correct by construction: every emitted pair must involve a new doc (the
+  ``involves_new`` gate), and a pair forms only inside a bucket that contains a
+  new row — index rows in untouched buckets can never contribute. Without this
+  the pairing window re-shuffled the ENTIRE index every micro-batch (O(index)
+  per trigger — the round-2 scale hazard);
+- the band/signature stores are **periodically compacted**: every
+  ``compact_every`` part-dirs, the ``batch=*`` subdirs (plus any previous
+  compaction) are rewritten into a single ``compacted=<batch_id>`` dir, so a
+  long-running stream reads O(compact_every) parquet footers per trigger
+  instead of one per historical batch;
 - exactly-once via batch-id-keyed idempotent writes (overwrite-by-batch-subdir,
   the Iceberg ``MERGE`` analog);
 - event-time windowed aggregation with a watermark covers the metrics-over-time
@@ -66,25 +80,55 @@ class IncrementalDedup:
     """
 
     def __init__(self, spark: SparkSession, cfg: DedupConfig,
-                 bands_dir: str, sigs_dir: str, matches_dir: str) -> None:
+                 bands_dir: str, sigs_dir: str, matches_dir: str,
+                 compact_every: int = 16) -> None:
         self.spark = spark
         self.cfg = cfg
         self.bands_dir = bands_dir
         self.sigs_dir = sigs_dir
         self.matches_dir = matches_dir
+        self.compact_every = compact_every
         self.batch_stats: list[dict] = []
         for d in (bands_dir, sigs_dir, matches_dir):
             os.makedirs(d, exist_ok=True)
 
-    def _read_batches(self, root: str) -> DataFrame | None:
-        subdirs = [
+    def _parts(self, root: str) -> list[str]:
+        return [
             os.path.join(root, d)
-            for d in os.listdir(root)
-            if d.startswith("batch=")
+            for d in sorted(os.listdir(root))
+            if d.startswith("batch=") or d.startswith("compacted=")
         ]
-        if not subdirs:
+
+    def _read_batches(self, root: str) -> DataFrame | None:
+        parts = self._parts(root)
+        if not parts:
             return None
-        return self.spark.read.parquet(*subdirs)
+        return self.spark.read.parquet(*parts)
+
+    def _maybe_compact(self, root: str, batch_id: int) -> None:
+        """Fold ``batch=*`` subdirs (plus any earlier compaction) into ONE
+        ``compacted=<batch_id>`` dir once ``compact_every`` parts accumulate —
+        otherwise a stream at batch 10^4 reads 10^4 parquet footers per
+        trigger. Write-then-swap: the union lands in a temp dir, is renamed
+        into place (atomic on one filesystem), and only then are the source
+        dirs removed. A crash inside the removal window leaves duplicate rows;
+        readers tolerate that (the pairing path dedups touched index rows, the
+        payload fetch dedups by url — both bounded by the batch's candidates,
+        never by the index)."""
+        import shutil
+
+        parts = self._parts(root)
+        if len(parts) < self.compact_every:
+            return
+        final = os.path.join(root, f"compacted={batch_id}")
+        tmp = os.path.join(root, "_compact_tmp")
+        self.spark.read.parquet(*parts).write.mode("overwrite").parquet(tmp)
+        if os.path.exists(final):  # replayed compaction of this very batch id
+            shutil.rmtree(final)   # (its rows were in parts, so tmp has them)
+        os.rename(tmp, final)
+        for p in parts:
+            if p != final and os.path.exists(p):
+                shutil.rmtree(p)
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         cfg = self.cfg
@@ -94,13 +138,28 @@ class IncrementalDedup:
                 "is_new", F.lit(True)
             ).persist()
             idx_bands = self._read_batches(self.bands_dir)
-            all_bands = (
-                new_bands
-                if idx_bands is None
-                else idx_bands.withColumn("is_new", F.lit(False)).unionByName(
-                    new_bands
+            if idx_bands is None:
+                all_bands = new_bands
+                idx_touched = None
+                n_idx_joined = 0
+            else:
+                # bound per-batch pairing work by TOUCHED buckets: only index
+                # rows whose (band, bh) bucket also contains a new row can ever
+                # pair (every pair must involve a new doc), so the pairing
+                # kernel's windows + self-join never shuffle the rest of the
+                # index. The touched-key set is O(batch x bands) — broadcast.
+                touched = new_bands.select("band", "bh").distinct()
+                idx_touched = (
+                    idx_bands.join(F.broadcast(touched), ["band", "bh"], "left_semi")
+                    # tolerate duplicate rows from a crash-interrupted
+                    # compaction; cost bounded by touched rows, not the index
+                    .dropDuplicates(["id", "band", "bh"])
+                    .persist()
                 )
-            )
+                n_idx_joined = idx_touched.count()
+                all_bands = idx_touched.withColumn(
+                    "is_new", F.lit(False)
+                ).unionByName(new_bands)
 
             # one skew-capped pass over the band union: intra-batch pairs AND
             # batch-vs-index pairs; index-index pairs (already reported when the
@@ -131,7 +190,11 @@ class IncrementalDedup:
                 if idx_sigs is None
                 else idx_sigs.unionByName(batch_df.select(*SIG_COLS))
             )
-            needed = store.join(ids, "url", "left_semi").persist()
+            needed = (
+                store.join(ids, "url", "left_semi")
+                .dropDuplicates(["url"])  # compaction crash-window tolerance
+                .persist()
+            )
             n_payload = needed.count()
 
             edges = accept_edges(score_pairs(cand, needed, cfg), cfg)
@@ -144,6 +207,9 @@ class IncrementalDedup:
                     "batch_id": int(batch_id),
                     "n_new_docs": batch_df.count(),
                     "n_index_band_rows": 0 if idx_bands is None else idx_bands.count(),
+                    # band rows that actually entered the pairing kernel —
+                    # O(touched buckets), the per-batch work bound
+                    "n_index_band_rows_joined": n_idx_joined,
                     "n_candidates": n_cand,
                     "n_sig_payload_rows": n_payload,
                 }
@@ -156,9 +222,13 @@ class IncrementalDedup:
             batch_df.select(*SIG_COLS).write.mode("overwrite").parquet(
                 os.path.join(self.sigs_dir, f"batch={batch_id}")
             )
+            self._maybe_compact(self.bands_dir, int(batch_id))
+            self._maybe_compact(self.sigs_dir, int(batch_id))
             cand.unpersist()
             needed.unpersist()
             new_bands.unpersist()
+            if idx_touched is not None:
+                idx_touched.unpersist()
         finally:
             batch_df.unpersist()
 
@@ -178,6 +248,7 @@ def run_incremental_dedup(
     cfg: DedupConfig,
     work_dir: str,
     checkpoint_dir: str | None = None,
+    compact_every: int = 16,
 ):
     """Wire a streaming pages source through signature computation into the
     incremental matcher. Returns (query, dedup) — await query termination, then
@@ -188,6 +259,7 @@ def run_incremental_dedup(
         os.path.join(work_dir, "bands"),
         os.path.join(work_dir, "sigs"),
         os.path.join(work_dir, "matches"),
+        compact_every=compact_every,
     )
     q = (
         sigs.writeStream.foreachBatch(dedup.process_batch)

@@ -92,6 +92,63 @@ def test_partitioning_invariance(spark):
     assert got1 == got17
 
 
+def test_fixed_point_equivalence_adversarial(spark):
+    """Pin the Kiveris fixed-point equivalence the convergence check relies on:
+    alternating small_star(large_star(E)) eventually satisfies _is_star_forest
+    on adversarial shapes (chains, duplicate-heavy, cliques) — i.e. an edge set
+    stable under the alternation IS a star forest, so the strict functional/
+    star checks can never raise on a stabilized set."""
+    from cqaduplicatefind_spark.operators.connected_components import (
+        _is_star_forest,
+        _large_star,
+        _small_star,
+    )
+
+    for name in ("path", "reversed_path", "self_loops_and_dups", "two_cliques"):
+        edges = GRAPHS[name]
+        cur = (
+            spark.createDataFrame(edges, "id_a string, id_b string")
+            .select(
+                F.greatest("id_a", "id_b").alias("id_a"),
+                F.least("id_a", "id_b").alias("id_b"),
+            )
+            .where(F.col("id_a") != F.col("id_b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        for _ in range(30):
+            if _is_star_forest(cur):
+                break
+            cur = _small_star(_large_star(cur)).localCheckpoint()
+        assert _is_star_forest(cur), name
+        # and once a star forest, the alternation maps it to itself
+        again = _small_star(_large_star(cur))
+        assert _is_star_forest(again), name
+        got = set(map(tuple, cur.collect()))
+        assert got == set(map(tuple, again.collect())), name
+
+
+def test_converged_input_runs_zero_rounds(spark):
+    """An input that is already an assignment table (member -> component-min)
+    must pass the star-forest check immediately — the zero-round fast path the
+    span pass relies on when re-clustering prior assignments."""
+    from cqaduplicatefind_spark.operators.connected_components import _is_star_forest
+
+    assign = [("b", "a"), ("c", "a"), ("z", "y")]
+    cur = (
+        spark.createDataFrame(assign, "id_a string, id_b string")
+        .select(
+            F.greatest("id_a", "id_b").alias("id_a"),
+            F.least("id_a", "id_b").alias("id_b"),
+        )
+        .where(F.col("id_a") != F.col("id_b"))
+        .distinct()
+    )
+    assert _is_star_forest(cur)
+    got = _run(spark, assign)
+    assert got == _oracle(assign, {n for e in assign for n in e})
+
+
 def test_attach_singletons(spark):
     edges = [("a", "b")]
     df = spark.createDataFrame(edges, "id_a string, id_b string")

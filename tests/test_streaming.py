@@ -55,12 +55,66 @@ def test_incremental_dedup_file_source(spark, tmp_path):
     assert s2["n_sig_payload_rows"] == 5
 
     # batch 3: unrelated docs -> zero candidates, ZERO payload rows fetched even
-    # though the index now holds 6 docs
+    # though the index now holds 6 docs — and zero index band rows even ENTER
+    # the pairing kernel (touched-bucket semi-join)
     d3 = run_batch(batch3)
     (s3,) = d3.batch_stats
     assert s3["n_candidates"] == 0
     assert s3["n_sig_payload_rows"] == 0
+    assert s3["n_index_band_rows_joined"] == 0
     assert {(r.id_a, r.id_b) for r in d3.matches().collect()} == got2
+
+
+def test_per_batch_work_bounded_by_touched_buckets(spark, tmp_path):
+    """K batches, each adding ONE member of a duplicate family plus several
+    unrelated docs. The accumulated index grows linearly, but the band rows that
+    enter the pairing kernel each batch stay bounded by the buckets the batch
+    touches (the family's bands) — O(touched), never O(index). Also exercises
+    store compaction: part-dir counts stay < compact_every while matches are
+    exactly the family's full pair set."""
+    cfg = DedupConfig(shingle_k=3, jaccard_threshold=0.7, shuffle_partitions=4)
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    K, noise_per_batch = 6, 3
+
+    dedup = None
+    stats = []
+    for i in range(K):
+        rows = [(f"fam{i}", base + f"tail{i}")] + [
+            (f"noise-{i}-{j}", f"unrelated {i} {j} " + f"xx{i}y{j} zz{j} qq{i} " * 12)
+            for j in range(noise_per_batch)
+        ]
+        spark.createDataFrame(rows, "url string, text string").write.mode(
+            "append"
+        ).parquet(src)
+        stream = spark.readStream.schema("url string, text string").parquet(src)
+        q, dedup = run_incremental_dedup(
+            spark, stream, cfg, str(tmp_path / "work"), compact_every=4
+        )
+        q.awaitTermination(120)
+        stats.extend(dedup.batch_stats)
+
+    docs_per_batch = 1 + noise_per_batch
+    for i, s in enumerate(stats):
+        # total index = everything that arrived before this batch...
+        assert s["n_index_band_rows"] == i * docs_per_batch * cfg.bands
+        # ...but the pairing kernel only ever saw the family's buckets
+        assert s["n_index_band_rows_joined"] <= i * cfg.bands
+    # the bound is doing real work by the last batch: joined << index
+    last = stats[-1]
+    assert last["n_index_band_rows"] == (K - 1) * docs_per_batch * cfg.bands
+    assert last["n_index_band_rows_joined"] <= (K - 1) * cfg.bands
+
+    # compaction kept the store at O(compact_every) part dirs...
+    assert len(dedup._parts(dedup.bands_dir)) < 4 + 1
+    assert len(dedup._parts(dedup.sigs_dir)) < 4 + 1
+    # ...and results are the family's complete pair set, unchanged by compaction
+    got = {(r.id_a, r.id_b) for r in dedup.matches().collect()}
+    want = {
+        (f"fam{i}", f"fam{j}") for i in range(K) for j in range(K) if i < j
+    }
+    assert got == want
 
 
 def test_windowed_event_metrics_batch_semantics(spark):
