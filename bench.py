@@ -142,6 +142,33 @@ def bench_pipeline(spark, sf_dir: str) -> dict[str, float]:
         t_span.append(t)
     times["full_pipeline"] = min(t_nospan)
     times["full_pipeline_with_span"] = min(t_span)
+
+    # html-extraction flavor: the byte-identity stripper (functions/html_strip.py,
+    # reference DataSetUtil.strip_tags) in the timed path — pages arrive as html,
+    # text is re-extracted before normalization (north-rule input shape)
+    html_pages = pages.select(
+        "url",
+        F.concat(
+            F.lit("<html><head><title>d</title></head><body><p>"),
+            F.col("text"),
+            F.lit("</p><br/></body></html>"),
+        ).alias("html"),
+        F.lit("").alias("text"),
+    ).cache()
+    html_pages.count()
+
+    def _html():
+        result = run_pipeline(
+            spark, html_pages, replace(cfg, span_pass=False), use_html=True
+        )
+        n = result.clusters.count()
+        result.release()
+        return n
+
+    t1, _ = _cooled(_html)
+    t2, _ = _cooled(_html)
+    times["full_pipeline_html"] = min(t1, t2)
+    html_pages.unpersist()
     times["_n_docs"] = n_docs
 
     pages.unpersist()
@@ -166,10 +193,15 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     ]
     qs = entry_mod.queries()
     out = {}
+    # one full cool-down after the sustained pipeline legs: the burst budget is
+    # drained by then, and the first queries otherwise measure the throttle
+    # (r3 observation: ngram_jaccard_pairs 3x slower when run 2s after the
+    # pipeline legs than in isolation)
+    time.sleep(COOLDOWN_SEC)
     for name in names:
         # min of two runs: steady-state throughput, not FS-cache/codegen noise;
         # a short idle gap per query keeps the hypervisor burst budget topped up
-        time.sleep(min(COOLDOWN_SEC, 2))
+        time.sleep(min(COOLDOWN_SEC, 5))
         t1, _ = _timed(lambda: qs[name](spark, sf_dir).count())
         t2, _ = _timed(lambda: qs[name](spark, sf_dir).count())
         out[name] = min(t1, t2)

@@ -30,8 +30,15 @@ FEATURE_DIM = 64
 
 
 def _decode_image_bytes(payload: bytes, strict: bool = False) -> np.ndarray:
-    """bytes -> (H, W, 3) uint8. Tries Pillow; falls back to a deterministic fake
+    """bytes -> (H, W, 3) uint8. PPM/PGM and non-interlaced 8-bit PNG decode for
+    REAL via the pure-stdlib codec (``functions/imagecodec.py``); other formats
+    (JPEG, ...) try Pillow and otherwise fall back to a deterministic fake
     derived from the payload bytes (NOT a real decode — marked stub)."""
+    from cqaduplicatefind_spark.functions.imagecodec import decode_image
+
+    img = decode_image(payload)  # real decode: PNG / PPM / PGM
+    if img is not None:
+        return img
     try:  # pragma: no cover - library absent in this container
         import io
 
@@ -41,7 +48,8 @@ def _decode_image_bytes(payload: bytes, strict: bool = False) -> np.ndarray:
     except ImportError:
         if strict:
             raise NotImplementedError(
-                "image decode requires Pillow; container has no codec libraries"
+                "non-PNG/PPM image decode requires Pillow; container has no "
+                "codec libraries"
             )
         # STUB: deterministic pseudo-image seeded by payload bytes
         h = w = 16

@@ -68,23 +68,37 @@ def _is_star_forest(edges: DataFrame) -> bool:
 
     Together these force each component to be a star whose root is its minimum
     (the root is smaller than every member by 1+3), and such a star is mapped
-    to itself by both operators. Testing them is a narrow filter, one partial
-    aggregation, and one semi-join — far cheaper than the classical
-    convergence protocol of running one extra full round (~6 exchanges) and
-    comparing checksums; unconverged rounds usually fail check 1 without any
-    shuffle at all."""
-    if not edges.where(F.col("id_a") < F.col("id_b")).isEmpty():
-        return False
-    multi = (
-        edges.groupBy("id_a").agg(F.count("*").alias("n")).where(F.col("n") > 1)
+    to itself by both operators. All three checks fold into ONE job (a
+    per-node in/out-degree aggregation over the symmetrized projection + a
+    scalar count): the probe runs once per round, and job-launch latency is
+    pure constant driver overhead that dilutes multi-core scaling — the
+    previous 3-probe formulation (narrow filter + groupBy + semi-join) cost
+    3 jobs per round. Still far cheaper than the classical convergence
+    protocol of running one extra full round (~6 exchanges) and comparing
+    checksums."""
+    stats = (
+        edges.select(
+            F.col("id_a").alias("n"),
+            F.lit(1).alias("out_deg"),
+            F.lit(0).alias("in_deg"),
+            (F.col("id_a") < F.col("id_b")).cast("int").alias("misoriented"),
+        )
+        .unionAll(
+            edges.select(F.col("id_b"), F.lit(0), F.lit(1), F.lit(0))
+        )
+        .groupBy("n")
+        .agg(
+            F.sum("out_deg").alias("out_deg"),
+            F.sum("in_deg").alias("in_deg"),
+            F.max("misoriented").alias("misoriented"),
+        )
     )
-    if not multi.isEmpty():
-        return False
-    return (
-        edges.select(F.col("id_b").alias("x"))
-        .join(edges.select(F.col("id_a").alias("x")), "x", "left_semi")
-        .isEmpty()
+    violations = stats.where(
+        (F.col("misoriented") == 1)
+        | (F.col("out_deg") > 1)
+        | ((F.col("out_deg") > 0) & (F.col("in_deg") > 0))
     )
+    return violations.count() == 0
 
 
 def _persistent_rdd_ids(spark) -> set[int]:

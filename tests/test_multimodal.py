@@ -72,3 +72,111 @@ def test_sample_video_frames_explodes(spark):
     assert len(rows) == 4
     assert sorted(r.frame_idx for r in rows) == [0, 1, 2, 3]
     assert all(len(bytes(r.frame)) > 0 for r in rows)
+
+
+# --------------------------------------------------------------------------
+# Real pure-stdlib codec (PPM / PNG) — no Pillow in the container
+# --------------------------------------------------------------------------
+
+def _rand_img(shape, seed):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.integers(0, 256, size=shape, dtype=np.uint8)
+
+
+def test_ppm_round_trip():
+    from cqaduplicatefind_spark.functions.imagecodec import decode_ppm, encode_ppm
+
+    rgb = _rand_img((7, 5, 3), 1)
+    assert np.array_equal(decode_ppm(encode_ppm(rgb)), rgb)
+    gray = _rand_img((4, 9), 2)
+    out = decode_ppm(encode_ppm(gray))
+    assert out.shape == (4, 9, 3)
+    assert np.array_equal(out[:, :, 0], gray)
+    assert np.array_equal(out[:, :, 1], gray)
+
+
+def test_ppm_header_comments():
+    from cqaduplicatefind_spark.functions.imagecodec import decode_ppm
+
+    img = _rand_img((2, 3, 3), 3)
+    payload = b"P6\n# a comment\n3 2\n# another\n255\n" + img.tobytes()
+    assert np.array_equal(decode_ppm(payload), img)
+
+
+def test_png_round_trip_all_color_types():
+    from cqaduplicatefind_spark.functions.imagecodec import decode_png, encode_png
+
+    rgb = _rand_img((11, 6, 3), 4)
+    assert np.array_equal(decode_png(encode_png(rgb)), rgb)
+    rgba = _rand_img((5, 8, 4), 5)
+    assert np.array_equal(decode_png(encode_png(rgba)), rgba[:, :, :3])
+    gray = _rand_img((6, 6), 6)
+    out = decode_png(encode_png(gray))
+    assert np.array_equal(out[:, :, 0], gray) and out.shape == (6, 6, 3)
+
+
+def test_png_all_filter_types_decode():
+    """encode_png only emits filter 0; build scanlines with filters 1-4 by
+    applying each filter forward to a known image and assert the decoder
+    reconstructs it exactly (the RFC 2083 reference semantics)."""
+    import struct
+    import zlib
+
+    from cqaduplicatefind_spark.functions.imagecodec import (
+        PNG_SIGNATURE,
+        decode_png,
+    )
+
+    img = _rand_img((5, 4, 3), 7)
+    h, w, bpp = 5, 4, 3
+    stride = w * bpp
+    flat = img.reshape(h, stride).astype(np.int32)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    scan = bytearray()
+    for y in range(h):
+        ftype = y % 5
+        scan.append(ftype)
+        prev = flat[y - 1] if y > 0 else np.zeros(stride, np.int32)
+        for x in range(stride):
+            a = int(flat[y, x - bpp]) if x >= bpp else 0
+            b = int(prev[x])
+            c = int(prev[x - bpp]) if x >= bpp else 0
+            pred = {0: 0, 1: a, 2: b, 3: (a + b) >> 1, 4: paeth(a, b, c)}[ftype]
+            scan.append((int(flat[y, x]) - pred) & 0xFF)
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    payload = (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(scan)))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(payload), img)
+
+
+def test_decode_images_real_codec_strict_no_pillow(spark):
+    """decode_images is green in STRICT mode on PNG/PPM payloads without any
+    codec library: the pure-stdlib decoder is a real decode, not a stub."""
+    from cqaduplicatefind_spark.functions.imagecodec import encode_png, encode_ppm
+
+    img1 = _rand_img((8, 8, 3), 8)
+    img2 = _rand_img((16, 4, 3), 9)
+    df = spark.createDataFrame(
+        [("p1", "image", bytearray(encode_png(img1)), 8, 8, None),
+         ("p2", "image", bytearray(encode_ppm(img2)), 4, 16, None)],
+        "media_id string, media_type string, payload binary, "
+        "width int, height int, duration_ms int",
+    )
+    rows = {r.media_id: r for r in decode_images(df, strict=True).collect()}
+    assert (rows["p1"].height, rows["p1"].width) == (8, 8)
+    assert (rows["p2"].height, rows["p2"].width) == (16, 4)
+    assert abs(rows["p1"].mean_pixel - float(img1.mean())) < 1e-9
+    assert abs(rows["p2"].mean_pixel - float(img2.mean())) < 1e-9

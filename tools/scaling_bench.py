@@ -50,12 +50,13 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
 
 REPLICATE = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICATE", "60"))
-N_TRIALS = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "3"))
+N_TRIALS = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "5"))
 GAP_SEC = int(os.environ.get("SPARK_GRAFT_SCALE_GAP", "10"))
 
 CHILD = r"""
@@ -83,6 +84,16 @@ spark = build_session(
         "spark.ui.enabled": "false",
         "spark.driver.memory": "6g",
         "spark.sql.adaptive.enabled": "false",
+        # this JVM is SIGSTOPped between its own timed runs (parent protocol:
+        # one live Spark process at a time). Spark's internal RPC timeouts are
+        # wall-clock; a freeze longer than the 120s default expires pending
+        # asks/heartbeats the moment the process thaws and kills the scheduler
+        # endpoint (observed: RpcEndpointNotFoundException on resume). Raise
+        # them past the longest possible freeze window (~one full trial).
+        "spark.network.timeout": "7200s",
+        "spark.rpc.askTimeout": "7200s",
+        "spark.rpc.lookupTimeout": "7200s",
+        "spark.executor.heartbeatInterval": "600s",
     },
 )
 spark.sparkContext.setLogLevel("ERROR")
@@ -125,6 +136,26 @@ for line in sys.stdin:
         break
 spark.stop()
 """
+
+
+def _freeze(proc: subprocess.Popen) -> None:
+    """SIGSTOP the child's whole process group (python driver + JVM + python
+    workers). Idle levels hold a warm 6g JVM whose GC/heartbeat threads run on
+    core pins OVERLAPPING the measured level's (local[16] is pinned to cores
+    0-15 while local[1] is timed on core 0); freezing them makes each timed run
+    the only live Spark process on the machine. Local-mode Spark has no
+    cross-process liveness protocol, so a frozen JVM resumes cleanly."""
+    try:
+        os.killpg(os.getpgid(proc.pid), signal.SIGSTOP)
+    except (OSError, ProcessLookupError):
+        pass
+
+
+def _thaw(proc: subprocess.Popen) -> None:
+    try:
+        os.killpg(os.getpgid(proc.pid), signal.SIGCONT)
+    except (OSError, ProcessLookupError):
+        pass
 
 
 def _await(proc: subprocess.Popen, prefix: str) -> dict:
@@ -205,22 +236,25 @@ def main():
                 ["taskset", "-c", f"0-{cpus - 1}",
                  sys.executable, "-c", CHILD, str(cpus), sf_dir, str(REPLICATE)],
                 cwd=repo, stdin=subprocess.PIPE, stdout=subprocess.PIPE,
-                text=True, bufsize=1,
+                text=True, bufsize=1, start_new_session=True,
             )
             procs[cpus] = p
             ready[cpus] = _await(p, "READY")
             print(f"level local[{cpus}] ready: {ready[cpus]}", file=sys.stderr)
+            _freeze(p)  # stay frozen except during its own timed runs
 
         trials: list[dict] = []
         for t in range(N_TRIALS):
             trial: dict = {"runs": {}, "spin_rate": {}}
             for cpus in levels:
-                time.sleep(GAP_SEC)
+                time.sleep(GAP_SEC)  # idle gap: every child is frozen here
+                _thaw(procs[cpus])
                 procs[cpus].stdin.write("RUN\n")
                 procs[cpus].stdin.flush()
                 with _SpinSampler() as sampler:
                     trial["runs"][str(cpus)] = _await(procs[cpus], "RESULT")
                 trial["spin_rate"][str(cpus)] = sampler.mean
+                _freeze(procs[cpus])
             for lo, hi in zip(levels, levels[1:]):
                 if hi == 4 * lo:
                     trial[f"eff_{lo}_to_{hi}"] = round(
@@ -240,6 +274,7 @@ def main():
             print(f"trial {t}: " + json.dumps(trial), file=sys.stderr)
     finally:
         for p in procs.values():
+            _thaw(p)
             try:
                 p.stdin.write("EXIT\n")
                 p.stdin.flush()
@@ -292,7 +327,10 @@ def main():
     summary["sf_dir"] = sf_dir
     summary["protocol"] = (
         "persistent pinned child per level (taskset, fresh JVM, 6g heap, AQE "
-        "off at bench scale, untimed warmup run), levels interleaved per trial "
+        "off at bench scale, untimed warmup run), idle levels' process groups "
+        "SIGSTOPped so each timed run is the only live Spark process (idle "
+        "JVMs' GC threads share overlapping core pins otherwise), levels "
+        "interleaved per trial "
         f"so each efficiency ratio is computed within one ~5-min host window; "
         f"{N_TRIALS} trials, {GAP_SEC}s idle gaps, median-of-trial-ratios "
         "headline with the full per-trial list + min alongside; the parent "
