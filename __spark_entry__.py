@@ -960,10 +960,11 @@ def q_pipeline_pairs(spark, sf):
     return result.edges.select("id_a", "id_b")
 
 
-@_register(
-    "dedup_pipeline_accepted_edges",
-    """
-    WITH toks AS (
+# brute-force distinct-3-token-shingle Jaccard oracle core, shared by the
+# flagship edge-set oracle, its streaming twin, and the cluster-assignment
+# oracle (recursive-CTE connected components over the same edge set)
+_BRUTE_JACCARD_CTES = """
+    toks AS (
       SELECT CAST(doc_id AS VARCHAR) AS doc_id, string_split(text, ' ') AS t
       FROM documents
     ),
@@ -981,14 +982,39 @@ def q_pipeline_pairs(spark, sf):
       FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
+"""
+
+_BRUTE_EDGES_SQL = f"""
+    WITH {_BRUTE_JACCARD_CTES}
     SELECT id_a, id_b,
            round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
     FROM inter
       JOIN sizes sa ON sa.doc_id = id_a
       JOIN sizes sb ON sb.doc_id = id_b
     WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.7
-    """,
-)
+    """
+
+
+def _edge_oracle_config() -> DedupConfig:
+    """SQL-expressible flagship semantics: input declared pre-normalized
+    (stopword/stemmer normalization has no SQL twin), Jaccard-only accept
+    (SimHash-Hamming and containment arms off), 32x4 banding so the LSH
+    collision probability at threshold exceeds 0.9998 — with seeded
+    permutations the oracle equality is deterministic for a given corpus."""
+    return DedupConfig(
+        shingle_k=3,
+        jaccard_threshold=0.7,
+        bands=32,
+        rows_per_band=4,
+        normalize_input=False,
+        accept_hamming=False,
+        containment_accept=None,
+        span_pass=False,
+        verify_evidence="exact",
+    )
+
+
+@_register("dedup_pipeline_accepted_edges", _BRUTE_EDGES_SQL)
 def q_pipeline_accepted_edges(spark, sf):
     """The FLAGSHIP pipeline's accepted duplicate-edge set, hash-matched against
     a brute-force DuckDB oracle. Config reduces duplicate semantics to the
@@ -1003,21 +1029,99 @@ def q_pipeline_accepted_edges(spark, sf):
 
     docs = _read(spark, sf, "documents")
     pages = docs.select(F.col("doc_id").cast("string").alias("url"), "text")
-    cfg = DedupConfig(
-        shingle_k=3,
-        jaccard_threshold=0.7,
-        bands=32,
-        rows_per_band=4,
-        normalize_input=False,
-        accept_hamming=False,
-        containment_accept=None,
-        span_pass=False,
-        verify_evidence="exact",
-    )
-    result = run_pipeline(spark, pages, cfg)
+    result = run_pipeline(spark, pages, _edge_oracle_config())
     return result.edges.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
+
+
+@_register("streaming_incremental_edges", _BRUTE_EDGES_SQL)
+def q_streaming_incremental_edges(spark, sf):
+    """The STREAMING incremental matcher's emitted edge set, hash-matched
+    against the same brute-force Jaccard oracle as the batch flagship: the
+    documents table is fed through ``IncrementalDedup`` as four deterministic
+    micro-batches (split by xxhash64 of the id), and the union of per-batch
+    match outputs must equal the batch edge set exactly — duplicates within a
+    batch, across adjacent batches, and against the accumulated index are all
+    found once each, with store compaction exercised mid-run
+    (``compact_every=3``). Capability analog of the reference's incremental
+    partial-progress builder (src/archive/MyReader2.py:16,41-42), re-expressed
+    as a Structured-Streaming foreachBatch index."""
+    import os
+    import tempfile
+
+    from cqaduplicatefind_spark.functions.signatures import with_signatures
+    from cqaduplicatefind_spark.streaming.incremental import (
+        SIG_COLS,
+        IncrementalDedup,
+    )
+
+    cfg = _edge_oracle_config()
+    docs = _read(spark, sf, "documents")
+    pages = docs.select(F.col("doc_id").cast("string").alias("url"), "text")
+    sigs = with_signatures(
+        pages.withColumn("norm_text", F.col("text")), cfg, "norm_text"
+    ).select(*SIG_COLS)
+
+    work = tempfile.mkdtemp(prefix="stream_oracle_")
+    dedup = IncrementalDedup(
+        spark,
+        cfg,
+        os.path.join(work, "bands"),
+        os.path.join(work, "sigs"),
+        os.path.join(work, "matches"),
+        compact_every=3,
+    )
+    n_batches = 4
+    for b in range(n_batches):
+        batch = sigs.where(
+            F.pmod(F.xxhash64("url"), F.lit(n_batches)) == F.lit(b)
+        )
+        dedup.process_batch(batch, b)
+    return dedup.matches().select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+@_register(
+    "dedup_pipeline_cluster_assignments",
+    f"""
+    WITH RECURSIVE {_BRUTE_JACCARD_CTES},
+    edges AS (
+      SELECT id_a, id_b
+      FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+      WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.7
+    ),
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM edges
+      UNION ALL
+      SELECT id_b AS a, id_a AS b FROM edges
+    ),
+    reach(u, m) AS (
+      SELECT doc_id, doc_id FROM toks
+      UNION
+      SELECT r.u, s2.b FROM reach r JOIN sym s2 ON s2.a = r.m
+    )
+    SELECT u AS url, min(m) AS cluster_id FROM reach GROUP BY u
+    """,
+)
+def q_pipeline_cluster_assignments(spark, sf):
+    """The FLAGSHIP pipeline's final cluster assignment (every doc -> min-id
+    member of its connected component, singletons self-clustered),
+    hash-matched against a DuckDB recursive-CTE transitive closure over the
+    brute-force Jaccard edge set. Same SQL-expressible config as
+    ``dedup_pipeline_accepted_edges``; this promotes the pipeline's END
+    OUTPUT — LSH candidates, exact verify, star/rescue rounds, distributed
+    connected components, singleton attach — to a driver-verified row, not
+    just the intermediate edge set."""
+    from cqaduplicatefind_spark.plans.pipeline import run_pipeline
+
+    docs = _read(spark, sf, "documents")
+    pages = docs.select(F.col("doc_id").cast("string").alias("url"), "text")
+    result = run_pipeline(spark, pages, _edge_oracle_config())
+    return result.clusters.select("url", "cluster_id")
 
 
 # --------------------------------------------------------------------------

@@ -134,14 +134,29 @@ def bench_pipeline(spark, sf_dir: str) -> dict[str, float]:
     # strictly-heavier with-span 21.7s). Then min-of-3 with the two flavors
     # INTERLEAVED, so any hypervisor throttling window hits both flavors alike.
     _cooled(_full(cfg))  # untimed warm-up (with span: superset of both flavors)
+    # min-of-4 with a longer cool-down than the light legs: the hypervisor's
+    # burst quota drains over a sustained ~25s pipeline run and a 15s idle gap
+    # does not reliably refill it — r3 measured the same warm flavor swinging
+    # 21s -> 52s between consecutive runs. With ~30% of runs landing in a
+    # throttled window, min-of-3 still had a few-percent chance of every run of
+    # one flavor being throttled (exactly the r2 artifact's failure mode);
+    # min-of-4 with longer gaps drives that to noise. Per-run lists ride along
+    # in the output so the variance is visible in the artifact itself.
+    nospan_cfg = replace(cfg, span_pass=False)
     t_nospan, t_span = [], []
-    for _ in range(3):
-        t, _n = _cooled(_full(replace(cfg, span_pass=False)))
+    for _ in range(4):
+        time.sleep(10)  # on top of the standard cool-down inside _cooled
+        t, _n = _cooled(_full(nospan_cfg))
         t_nospan.append(t)
+        time.sleep(10)
         t, _n = _cooled(_full(cfg))
         t_span.append(t)
     times["full_pipeline"] = min(t_nospan)
     times["full_pipeline_with_span"] = min(t_span)
+    bench_pipeline._runs = {
+        "full_pipeline": [round(x, 2) for x in t_nospan],
+        "full_pipeline_with_span": [round(x, 2) for x in t_span],
+    }
 
     # html-extraction flavor: the byte-identity stripper (functions/html_strip.py,
     # reference DataSetUtil.strip_tags) in the timed path — pages arrive as html,
@@ -231,7 +246,13 @@ def main():
         app_name="cqadf-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
-        extra={"spark.ui.enabled": "false", "spark.driver.memory": "48g"},
+        # 6g, NOT the machine's worth of heap: this host's page management makes
+        # huge heaps actively slow (A/B measured r3: 48g heap ran the pipeline
+        # warm-up 78.9s and nospan legs ~24-31s; the identical run with 6g did
+        # 29.7s and 18.6s — page-fault storms on first-touch of a 48g region).
+        # The scaling bench independently measured and documented the same
+        # effect. 6g fits the sf0.1 working set with headroom.
+        extra={"spark.ui.enabled": "false", "spark.driver.memory": "6g"},
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -258,6 +279,10 @@ def main():
                 "n_docs": n_docs,
                 "docs_per_sec_full_pipeline": docs_per_sec,
                 "cpus": int(cpus),
+                # per-run lists for the interleaved pipeline legs: makes the
+                # variance (hypervisor burst throttling) visible in the
+                # artifact itself instead of only in the min
+                "pipeline_runs": getattr(bench_pipeline, "_runs", {}),
             }
         )
     )

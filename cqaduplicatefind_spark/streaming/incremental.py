@@ -197,7 +197,9 @@ class IncrementalDedup:
             )
             n_payload = needed.count()
 
-            edges = accept_edges(score_pairs(cand, needed, cfg), cfg)
+            edges = accept_edges(
+                score_pairs(cand, needed, cfg, evidence=cfg.verify_evidence), cfg
+            )
             edges.write.mode("overwrite").parquet(
                 os.path.join(self.matches_dir, f"batch={batch_id}")
             )

@@ -117,6 +117,28 @@ def test_per_batch_work_bounded_by_touched_buckets(spark, tmp_path):
     assert got == want
 
 
+def test_streaming_edges_equal_batch_edges(spark):
+    """The driver's streaming query (documents fed through IncrementalDedup as
+    four hash-split micro-batches, store compaction mid-run) emits EXACTLY the
+    batch flagship's accepted edge set, jaccard values included — match results
+    are independent of micro-batch boundaries, each pair reported once, and the
+    ``verify_evidence`` config reaches the streaming score path."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    qs = entry.queries()
+    batch = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in qs["dedup_pipeline_accepted_edges"](spark, sf).collect()
+    }
+    stream = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in qs["streaming_incremental_edges"](spark, sf).collect()
+    }
+    assert stream == batch
+    assert len(batch) > 0
+
+
 def test_windowed_event_metrics_batch_semantics(spark):
     # semantics check on a static frame (same expression tree as streaming)
     t0 = dt.datetime(2024, 1, 1, 0, 30)
