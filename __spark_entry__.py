@@ -1124,6 +1124,71 @@ def q_pipeline_cluster_assignments(spark, sf):
     return result.clusters.select("url", "cluster_id")
 
 
+@_register(
+    "dedup_canonical_docs",
+    f"""
+    WITH RECURSIVE {_BRUTE_JACCARD_CTES},
+    edges AS (
+      SELECT id_a, id_b
+      FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+      WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.7
+    ),
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM edges
+      UNION ALL
+      SELECT id_b AS a, id_a AS b FROM edges
+    ),
+    reach(u, m) AS (
+      SELECT doc_id, doc_id FROM toks
+      UNION
+      SELECT r.u, s2.b FROM reach r JOIN sym s2 ON s2.a = r.m
+    ),
+    assign AS (SELECT u AS url, min(m) AS cluster_id FROM reach GROUP BY u),
+    q AS (
+      SELECT CAST(doc_id AS VARCHAR) AS url,
+             round(len(string_split(text, ' ')) * 1.0
+                   / greatest(n_chars, 1), 6) AS quality
+      FROM documents
+    )
+    SELECT cluster_id, url, quality, n_members
+    FROM (
+      SELECT a.cluster_id, a.url, q.quality,
+             count(*) OVER (PARTITION BY a.cluster_id) AS n_members,
+             row_number() OVER (
+               PARTITION BY a.cluster_id ORDER BY q.quality DESC, a.url ASC
+             ) AS rn
+      FROM assign a JOIN q USING (url)
+    ) WHERE rn = 1
+    """,
+)
+def q_canonical_docs(spark, sf):
+    """Emit the DEDUPLICATED corpus: after the flagship pipeline clusters the
+    documents table (same SQL-expressible config as the other oracle rows), keep
+    ONE representative per cluster — highest quality score (tokens-per-char, the
+    same formula as the ``quality_score`` query), ties broken by smallest id —
+    via the skew-proof ``canonical_per_cluster`` aggregate (map-side-combinable
+    ``min_by``, never a one-task-per-cluster window). Hash-matched against a
+    DuckDB recursive-CTE closure + window oracle. This is the user-facing output
+    of a web-scale dedup tier: the kept pages, with cluster provenance."""
+    from cqaduplicatefind_spark.operators.topk import canonical_per_cluster
+    from cqaduplicatefind_spark.plans.pipeline import run_pipeline
+
+    docs = _read(spark, sf, "documents")
+    pages = docs.select(F.col("doc_id").cast("string").alias("url"), "text")
+    result = run_pipeline(spark, pages, _edge_oracle_config())
+    quality = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.round(
+            F.size(F.split("text", " "))
+            / F.greatest(F.col("n_chars"), F.lit(1)),
+            6,
+        ).alias("quality"),
+    )
+    return canonical_per_cluster(result.clusters, quality, "quality")
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------

@@ -50,3 +50,42 @@ def retrieve_duplicates(
     """The reference's retrieval answer shape: for every document, its top-k most
     similar candidates with scores and ranks."""
     return topk_per_query(symmetrize_scored(scored, score_col), k)
+
+
+def canonical_per_cluster(
+    clusters: DataFrame,
+    scores: DataFrame,
+    score_col: str,
+    id_col: str = "url",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """One representative document per duplicate cluster — the step that emits
+    the DEDUPLICATED corpus after clustering: keep the member with the highest
+    ``score_col`` (ties broken by smallest id, a total order), singletons keep
+    themselves. Output: (cluster_id, url, <score_col>, n_members).
+
+    Deliberately an AGGREGATE, not a window: ``row_number() over (partition by
+    cluster_id)`` funnels each cluster into ONE task, and at web scale a
+    boilerplate cluster can hold 10^7 members — a single-task sort. ``min_by``
+    over the composite ordering (-score, id) is a hash aggregate with map-side
+    partial combine, so a hot cluster's members reduce locally on every input
+    partition and only one candidate row per (partition, cluster) crosses the
+    shuffle. The composite struct makes the winner unique, so min_by's
+    tie-behavior never matters."""
+    joined = clusters.select(
+        F.col(id_col).alias("_id"), F.col(cluster_col).alias("_cid")
+    ).join(scores.select(F.col(id_col).alias("_id"), F.col(score_col)), "_id")
+    rep = F.min_by(
+        F.struct(F.col("_id"), F.col(score_col)),
+        F.struct((-F.col(score_col)).alias("neg_score"), F.col("_id").alias("id")),
+    )
+    return (
+        joined.groupBy("_cid")
+        .agg(rep.alias("_rep"), F.count(F.lit(1)).alias("n_members"))
+        .select(
+            F.col("_cid").alias(cluster_col),
+            F.col(f"_rep._id").alias(id_col),
+            F.col(f"_rep.{score_col}").alias(score_col),
+            "n_members",
+        )
+    )

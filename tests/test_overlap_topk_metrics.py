@@ -10,7 +10,11 @@ from cqaduplicatefind_spark.operators.overlap import (
     longest_common_span,
     overlap_spans,
 )
-from cqaduplicatefind_spark.operators.topk import retrieve_duplicates, topk_per_query
+from cqaduplicatefind_spark.operators.topk import (
+    canonical_per_cluster,
+    retrieve_duplicates,
+    topk_per_query,
+)
 
 
 # ---------- longest_common_span kernel ----------
@@ -324,3 +328,34 @@ def test_pipeline_clusters_shell_embedded_page(spark):
     off = run_pipeline(spark, pages, DedupConfig(span_pass=False, **base))
     c_off = {r["url"]: r["cluster_id"] for r in off.clusters.collect()}
     assert c_off["page"] != c_off["shellpage"]  # LSH alone cannot see this pair
+
+
+# ---------- canonical representative per cluster ----------
+
+def test_canonical_per_cluster_picks_best_and_breaks_ties(spark):
+    """Highest score wins; equal scores break toward the smallest id;
+    singletons keep themselves; n_members counts every member. The operator is
+    an aggregate (map-side combinable min_by), so the plan must contain a
+    partial aggregation, not a single-task-per-cluster window sort."""
+    clusters = spark.createDataFrame(
+        [("a1", "K1"), ("a2", "K1"), ("a3", "K1"),
+         ("b1", "K2"), ("b2", "K2"),
+         ("solo", "solo")],
+        "url string, cluster_id string",
+    )
+    scores = spark.createDataFrame(
+        [("a1", 0.5), ("a2", 0.9), ("a3", 0.9),
+         ("b1", 0.3), ("b2", 0.3),
+         ("solo", 0.1)],
+        "url string, quality double",
+    )
+    out = canonical_per_cluster(clusters, scores, "quality")
+    got = {r.cluster_id: (r.url, r.quality, r.n_members) for r in out.collect()}
+    assert got == {
+        "K1": ("a2", 0.9, 3),     # max score, tie a2<a3
+        "K2": ("b1", 0.3, 2),     # all tied -> min id
+        "solo": ("solo", 0.1, 1),
+    }
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "partial_min_by" in plan or "HashAggregate" in plan
+    assert "Window" not in plan
