@@ -1083,10 +1083,10 @@ def q_streaming_incremental_edges(spark, sf):
     )
 
 
-@_register(
-    "dedup_pipeline_cluster_assignments",
-    f"""
-    WITH RECURSIVE {_BRUTE_JACCARD_CTES},
+# transitive closure over the brute-force edge set (recursive CTE): reach(u, m)
+# holds every m reachable from u, so min(m) per u is the component's min id —
+# shared by the cluster-assignment and canonical-doc oracles
+_BRUTE_CLOSURE_CTES = f"""{_BRUTE_JACCARD_CTES},
     edges AS (
       SELECT id_a, id_b
       FROM inter
@@ -1104,6 +1104,13 @@ def q_streaming_incremental_edges(spark, sf):
       UNION
       SELECT r.u, s2.b FROM reach r JOIN sym s2 ON s2.a = r.m
     )
+"""
+
+
+@_register(
+    "dedup_pipeline_cluster_assignments",
+    f"""
+    WITH RECURSIVE {_BRUTE_CLOSURE_CTES}
     SELECT u AS url, min(m) AS cluster_id FROM reach GROUP BY u
     """,
 )
@@ -1127,24 +1134,7 @@ def q_pipeline_cluster_assignments(spark, sf):
 @_register(
     "dedup_canonical_docs",
     f"""
-    WITH RECURSIVE {_BRUTE_JACCARD_CTES},
-    edges AS (
-      SELECT id_a, id_b
-      FROM inter
-        JOIN sizes sa ON sa.doc_id = id_a
-        JOIN sizes sb ON sb.doc_id = id_b
-      WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.7
-    ),
-    sym AS (
-      SELECT id_a AS a, id_b AS b FROM edges
-      UNION ALL
-      SELECT id_b AS a, id_a AS b FROM edges
-    ),
-    reach(u, m) AS (
-      SELECT doc_id, doc_id FROM toks
-      UNION
-      SELECT r.u, s2.b FROM reach r JOIN sym s2 ON s2.a = r.m
-    ),
+    WITH RECURSIVE {_BRUTE_CLOSURE_CTES},
     assign AS (SELECT u AS url, min(m) AS cluster_id FROM reach GROUP BY u),
     q AS (
       SELECT CAST(doc_id AS VARCHAR) AS url,

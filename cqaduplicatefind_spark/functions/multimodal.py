@@ -29,33 +29,51 @@ MEDIA_SCHEMA = (
 FEATURE_DIM = 64
 
 
+def _stub_image(payload: bytes) -> np.ndarray:
+    """STUB: deterministic pseudo-image seeded by payload bytes (NOT a decode)."""
+    h = w = 16
+    seed = np.frombuffer(payload[:8].ljust(8, b"\0"), dtype=np.uint64)[0]
+    rng = np.random.Generator(np.random.PCG64(int(seed)))
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
 def _decode_image_bytes(payload: bytes, strict: bool = False) -> np.ndarray:
     """bytes -> (H, W, 3) uint8. PPM/PGM and non-interlaced 8-bit PNG decode for
     REAL via the pure-stdlib codec (``functions/imagecodec.py``); other formats
-    (JPEG, ...) try Pillow and otherwise fall back to a deterministic fake
-    derived from the payload bytes (NOT a real decode — marked stub)."""
+    (JPEG, ...) and PNG/PPM variants the pure codec does not cover
+    (palette/16-bit/interlaced, or corrupt payloads) try Pillow and otherwise
+    fall back to a deterministic fake derived from the payload bytes (NOT a
+    real decode — marked stub). Non-strict mode NEVER raises — a web-scale
+    media batch always contains payloads no decoder accepts, and one bad byte
+    string must not kill the Spark task."""
     from cqaduplicatefind_spark.functions.imagecodec import decode_image
 
-    img = decode_image(payload)  # real decode: PNG / PPM / PGM
+    try:
+        img = decode_image(payload)  # real decode: PNG / PPM / PGM
+    except Exception:
+        # magic bytes matched but the variant is out of the pure codec's scope
+        # (palette PNG, 16-bit PPM, interlaced) or the payload is corrupt:
+        # treat exactly like any other undecodable format below
+        img = None
     if img is not None:
         return img
     try:  # pragma: no cover - library absent in this container
         import io
 
         from PIL import Image  # type: ignore
-
-        return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
     except ImportError:
         if strict:
             raise NotImplementedError(
-                "non-PNG/PPM image decode requires Pillow; container has no "
-                "codec libraries"
+                "image decode beyond stdlib PNG/PPM requires Pillow; container "
+                "has no codec libraries"
             )
-        # STUB: deterministic pseudo-image seeded by payload bytes
-        h = w = 16
-        seed = np.frombuffer(payload[:8].ljust(8, b"\0"), dtype=np.uint64)[0]
-        rng = np.random.Generator(np.random.PCG64(int(seed)))
-        return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        return _stub_image(payload)
+    try:  # pragma: no cover - library absent in this container
+        return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+    except Exception:
+        if strict:
+            raise
+        return _stub_image(payload)
 
 
 def _sample_frames_bytes(payload: bytes, n_frames: int, strict: bool = False):

@@ -242,6 +242,24 @@ def span_candidates(
     )
 
 
+class _CheckpointHandle:
+    """``unpersist()``-compatible handle that releases localCheckpoint RDD
+    blocks by id. Rides ``PipelineResult.persisted`` next to cached frames —
+    ``release()`` duck-types on ``unpersist()``."""
+
+    def __init__(self, spark, rdd_ids) -> None:
+        self._spark = spark
+        self._ids = set(rdd_ids)
+
+    def unpersist(self) -> None:
+        from cqaduplicatefind_spark.operators.connected_components import (
+            _unpersist_rdd_ids,
+        )
+
+        _unpersist_rdd_ids(self._spark, self._ids)
+        self._ids = set()
+
+
 def exact_span_edges(
     normalized: DataFrame,
     cfg: DedupConfig,
@@ -266,15 +284,26 @@ def exact_span_edges(
     ever sees the genuinely-new cross-cluster containment pairs.
 
     The candidate set is localCheckpoint'ed (count + verify both read it);
-    pass ``persisted`` (a list) to receive the checkpointed frame and
-    ``unpersist()`` it once the returned spans are materialized —
+    pass ``persisted`` (a list) to receive a handle whose ``unpersist()`` frees
+    the checkpoint blocks once the returned spans are materialized —
     ``run_pipeline`` hands it to ``PipelineResult.persisted`` so ``release()``
-    frees it. Without this each call pins the checkpoint in executor storage
-    for the session lifetime."""
+    frees it. The handle frees the checkpoint RDD through the JVM's
+    ``getPersistentRDDs`` (``_unpersist_rdd_ids``) — ``DataFrame.unpersist()``
+    does NOT release localCheckpoint blocks (it only uncaches cacheManager
+    entries), so without the id-level free each call pins the checkpoint in
+    executor storage for the session lifetime."""
+    from cqaduplicatefind_spark.operators.connected_components import (
+        _persistent_rdd_ids,
+        _unpersist_rdd_ids,
+    )
+
+    spark = normalized.sparkSession
+    before = _persistent_rdd_ids(spark)
     cands = span_candidates(
         normalized, cfg, id_col, text_col, group_col,
         assignments=exclude_assignments,
     ).localCheckpoint()  # materialize once; count + verify both read it
+    ckpt_ids = _persistent_rdd_ids(spark) - before
     n = cands.count()
     if n == 0:
         # no discovery candidates: skip verification entirely. Without this the
@@ -282,12 +311,12 @@ def exact_span_edges(
         # pair sides just to probe an empty stream — the dominant span-stage
         # cost on span-free corpora (most corpora, after same-cluster pruning).
         # The empty result never reads cands again: free its blocks now.
-        cands.unpersist()
-        return normalized.sparkSession.createDataFrame(
+        _unpersist_rdd_ids(spark, ckpt_ids)
+        return spark.createDataFrame(
             [], "id_a string, id_b string, overlap_span int"
         )
     if persisted is not None:
-        persisted.append(cands)
+        persisted.append(_CheckpointHandle(spark, ckpt_ids))
     # few candidates (the usual case after same-cluster pruning): broadcast the
     # pair side so the doc joins stay exchange-free for the corpus table — the
     # driver-side analog of AQE's SMJ->BHJ rewrite, decided on the actual count

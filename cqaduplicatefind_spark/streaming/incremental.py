@@ -30,11 +30,13 @@ Design (the part that must stay sub-linear per batch at 10^12 docs):
   new row — index rows in untouched buckets can never contribute. Without this
   the pairing window re-shuffled the ENTIRE index every micro-batch (O(index)
   per trigger — the round-2 scale hazard);
-- the band/signature stores are **periodically compacted**: every
-  ``compact_every`` part-dirs, the ``batch=*`` subdirs (plus any previous
-  compaction) are rewritten into a single ``compacted=<batch_id>`` dir, so a
-  long-running stream reads O(compact_every) parquet footers per trigger
-  instead of one per historical batch;
+- the band/signature stores are **tier-compacted**: every ``compact_every``
+  small ``batch=*`` parts fold into one ``compacted=`` tier (write work
+  bounded by those parts, not the store), and tiers themselves merge once
+  ``compact_every`` of them accumulate — a long-running stream reads
+  O(compact_every) parquet footers per trigger and never pays an O(index)
+  rewrite per compaction; the merge protocol keeps the store a readable
+  superset through every crash window (see ``_merge``);
 - exactly-once via batch-id-keyed idempotent writes (overwrite-by-batch-subdir,
   the Iceberg ``MERGE`` analog);
 - event-time windowed aggregation with a watermark covers the metrics-over-time
@@ -105,30 +107,54 @@ class IncrementalDedup:
             return None
         return self.spark.read.parquet(*parts)
 
-    def _maybe_compact(self, root: str, batch_id: int) -> None:
-        """Fold ``batch=*`` subdirs (plus any earlier compaction) into ONE
-        ``compacted=<batch_id>`` dir once ``compact_every`` parts accumulate —
-        otherwise a stream at batch 10^4 reads 10^4 parquet footers per
-        trigger. Write-then-swap: the union lands in a temp dir, is renamed
-        into place (atomic on one filesystem), and only then are the source
-        dirs removed. A crash inside the removal window leaves duplicate rows;
-        readers tolerate that (the pairing path dedups touched index rows, the
-        payload fetch dedups by url — both bounded by the batch's candidates,
-        never by the index)."""
+    def _merge(self, root: str, sources: list[str], final: str) -> None:
+        """Fold ``sources`` into ``final``, leaving the store a READABLE
+        SUPERSET through every crash window: (1) the union is written to a temp
+        dir no reader scans, (2) a pre-existing ``final`` (batch replay) is
+        renamed to ``<final>.old`` — still matching the reader prefix, and its
+        rows are already in the temp union because sources are read FIRST —
+        (3) the temp dir renames into place, (4) sources and ``.old`` are
+        removed LAST. A crash at any point leaves every row reachable under a
+        scanned name (possibly duplicated; readers dropDuplicate), and stale
+        ``.old`` dirs self-heal by re-entering the next merge as sources."""
         import shutil
 
-        parts = self._parts(root)
-        if len(parts) < self.compact_every:
-            return
-        final = os.path.join(root, f"compacted={batch_id}")
         tmp = os.path.join(root, "_compact_tmp")
-        self.spark.read.parquet(*parts).write.mode("overwrite").parquet(tmp)
-        if os.path.exists(final):  # replayed compaction of this very batch id
-            shutil.rmtree(final)   # (its rows were in parts, so tmp has them)
+        self.spark.read.parquet(*sources).write.mode("overwrite").parquet(tmp)
+        old = final + ".old"
+        if os.path.exists(final):
+            if os.path.exists(old):
+                shutil.rmtree(old)
+            os.rename(final, old)
         os.rename(tmp, final)
-        for p in parts:
+        for p in sources + [old]:
             if p != final and os.path.exists(p):
                 shutil.rmtree(p)
+
+    def _maybe_compact(self, root: str, batch_id: int) -> None:
+        """TIERED compaction: once ``compact_every`` small ``batch=*`` parts
+        accumulate they fold into ONE new ``compacted=<batch_id>`` tier —
+        O(compact_every x batch) write work, NOT a rewrite of the whole store —
+        and once ``compact_every`` tiers accumulate they merge into one
+        (amortized O(index / compact_every^2) per batch). Without any
+        compaction a stream at batch 10^4 reads 10^4 parquet footers per
+        trigger; with whole-store compaction every K batches the write path
+        becomes O(index) per K triggers — the same scale hazard the
+        touched-bucket semi-join removes from the read path. Tiering bounds
+        BOTH: <= ~2*compact_every dirs read per trigger, amortized per-batch
+        write work independent of the index for the common tier-0 fold."""
+        batches = [
+            p for p in self._parts(root)
+            if os.path.basename(p).startswith("batch=")
+        ]
+        if len(batches) >= self.compact_every:
+            self._merge(root, batches, os.path.join(root, f"compacted={batch_id}"))
+        tiers = [
+            p for p in self._parts(root)
+            if os.path.basename(p).startswith("compacted=")
+        ]
+        if len(tiers) >= self.compact_every:
+            self._merge(root, tiers, os.path.join(root, f"compacted={batch_id}m"))
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         cfg = self.cfg

@@ -180,3 +180,26 @@ def test_decode_images_real_codec_strict_no_pillow(spark):
     assert (rows["p2"].height, rows["p2"].width) == (16, 4)
     assert abs(rows["p1"].mean_pixel - float(img1.mean())) < 1e-9
     assert abs(rows["p2"].mean_pixel - float(img2.mean())) < 1e-9
+
+
+def test_nonstrict_decode_never_raises_on_variant_or_corrupt_payloads():
+    """Non-strict decode must fall back to the stub for payloads whose magic
+    bytes match PNG/PPM but whose variant the pure codec does not cover
+    (palette PNG, 16-bit PPM) or that are corrupt — one bad byte string in a
+    web-scale media batch must not kill the Spark task."""
+    from cqaduplicatefind_spark.functions.multimodal import _decode_image_bytes
+
+    payloads = [
+        b"\x89PNG\r\n\x1a\ntruncated-garbage",           # corrupt PNG
+        b"P6\n2 2\n65535\n" + b"\x00" * 24,              # 16-bit PPM (maxval)
+        b"P6\n2 2\n255\n\x00",                           # truncated PPM body
+        b"\xff\xd8\xff\xe0 not a real jpeg",             # JPEG magic, no codec
+        b"",                                             # empty
+    ]
+    for p in payloads:
+        img = _decode_image_bytes(p, strict=False)
+        assert img.shape == (16, 16, 3) and img.dtype == "uint8", p[:12]
+    # determinism of the stub fallback (same payload -> same fake image)
+    a = _decode_image_bytes(payloads[0], strict=False)
+    b = _decode_image_bytes(payloads[0], strict=False)
+    assert (a == b).all()

@@ -359,3 +359,44 @@ def test_canonical_per_cluster_picks_best_and_breaks_ties(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "partial_min_by" in plan or "HashAggregate" in plan
     assert "Window" not in plan
+
+
+# ---------- span-candidate checkpoint lifecycle ----------
+
+def test_span_checkpoint_freed_by_release(spark):
+    """The span pass localCheckpoints its candidate set; DataFrame.unpersist()
+    does NOT free localCheckpoint blocks (it only uncaches cacheManager
+    entries), so the pipeline must free them by RDD id through the JVM's
+    getPersistentRDDs. This pins that: after release(), the checkpoint RDD ids
+    are gone from the persistent-RDD map; before it, they are present."""
+    from cqaduplicatefind_spark.config import DedupConfig
+    from cqaduplicatefind_spark.operators.connected_components import (
+        _persistent_rdd_ids,
+    )
+    from cqaduplicatefind_spark.operators.overlap import _CheckpointHandle
+    from cqaduplicatefind_spark.plans.pipeline import run_pipeline
+
+    content = " ".join(f"story{j} word{j}" for j in range(25))
+    shell = " ".join(f"boiler{j} nav{j}" for j in range(60))
+    pages = spark.createDataFrame(
+        [
+            ("page", content),
+            ("shellpage", f"{shell} {content} {shell}"),
+            ("unrelated", " ".join(f"zzz{j} yyy{j}" for j in range(85))),
+        ],
+        "url string, text string",
+    )
+    result = run_pipeline(
+        spark, pages,
+        DedupConfig(span_pass=True, shingle_k=3, jaccard_threshold=0.7,
+                    min_overlap_span=40, shuffle_partitions=8,
+                    signature_partitions=8),
+    )
+    result.clusters.count()
+    handles = [p for p in result.persisted if isinstance(p, _CheckpointHandle)]
+    assert handles, "span candidates were non-empty -> a handle must exist"
+    ids = set().union(*(h._ids for h in handles))
+    assert ids, "handle must carry the checkpoint RDD ids"
+    assert ids & _persistent_rdd_ids(spark), "checkpoint pinned before release"
+    result.release()
+    assert not ids & _persistent_rdd_ids(spark), "checkpoint freed by release"

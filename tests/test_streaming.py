@@ -157,3 +157,52 @@ def test_windowed_event_metrics_batch_semantics(spark):
     }
     assert out[(0, "click")] == (2, 3.0)
     assert out[(2, "view")] == (1, 5.0)
+
+
+def test_tiered_compaction_bounds_parts_and_survives_replay(spark, tmp_path):
+    """With compact_every=2 over six batches, batch parts fold into tiers and
+    tiers merge — the store stays at O(compact_every) dirs without ever
+    rewriting the whole index per compaction (write work of the common fold is
+    bounded by the batch parts). A replayed batch id (exactly-once overwrite
+    after its parts were already compacted away) leaves results unchanged:
+    readers tolerate the duplicate rows by construction."""
+    from cqaduplicatefind_spark.functions.signatures import with_signatures
+    from cqaduplicatefind_spark.streaming.incremental import (
+        SIG_COLS,
+        IncrementalDedup,
+    )
+
+    cfg = DedupConfig(shingle_k=3, jaccard_threshold=0.7, shuffle_partitions=4)
+    dedup = IncrementalDedup(
+        spark, cfg,
+        str(tmp_path / "bands"), str(tmp_path / "sigs"),
+        str(tmp_path / "matches"), compact_every=2,
+    )
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+
+    def sigs_for(i):
+        rows = [
+            (f"fam{i}", base + f"tail{i}"),
+            (f"noise{i}", f"unrelated {i} " + f"x{i} y{i} z{i} qq{i} " * 10),
+        ]
+        df = spark.createDataFrame(rows, "url string, text string")
+        return with_signatures(
+            df.withColumn("norm_text", F.col("text")), cfg, "norm_text"
+        ).select(*SIG_COLS)
+
+    K = 6
+    for i in range(K):
+        dedup.process_batch(sigs_for(i), i)
+
+    # tiering bound: far fewer dirs than batches, despite compact_every=2
+    assert len(dedup._parts(dedup.bands_dir)) <= 2 * 2
+    assert len(dedup._parts(dedup.sigs_dir)) <= 2 * 2
+    want = {(f"fam{i}", f"fam{j}") for i in range(K) for j in range(K) if i < j}
+    got = {(r.id_a, r.id_b) for r in dedup.matches().collect()}
+    assert got == want
+
+    # replay the last batch: its band/sig parts were compacted into a tier, so
+    # the rewritten batch=5 dirs duplicate those rows — matches unchanged
+    dedup.process_batch(sigs_for(K - 1), K - 1)
+    got2 = {(r.id_a, r.id_b) for r in dedup.matches().collect()}
+    assert got2 == want
