@@ -175,6 +175,17 @@ def span_candidates(
     from cqaduplicatefind_spark.operators.candidates import bucket_candidates
 
     extras = (group_col,) if group_col else ()
+    # a qualifying pair shares a contiguous run of >= min_overlap_span tokens,
+    # so BOTH endpoints must have at least that many tokens: docs below the
+    # span length can be dropped before the fingerprint explode (they still
+    # emit fingerprints — any doc with >= gram tokens does — but can never
+    # survive verification). Uses the signature stage's n_tokens when present;
+    # falls back to a split-size count for bare-text callers.
+    if "n_tokens" in normalized.columns:
+        len_ok = F.col("n_tokens") >= cfg.min_overlap_span
+    else:
+        len_ok = F.size(F.split(F.col(text_col), " ")) >= cfg.min_overlap_span
+    normalized = normalized.where(len_ok)
     if "span_fps" in normalized.columns:
         fp_col = F.col("span_fps")
     else:
