@@ -120,11 +120,26 @@ def _unpersist_rdd_ids(spark, ids) -> None:
 
 
 def connected_components(
-    edges: DataFrame, max_iterations: int = 50
+    edges: DataFrame,
+    max_iterations: int = 50,
+    assume_unconverged: bool = False,
+    input_distinct: bool = False,
 ) -> DataFrame:
     """edges(id_a, id_b) -> assignments(id, cluster_id) for every node that appears
     in an edge. cluster_id = min node id in the component. Callers attach singletons
     with a left join + coalesce (see ``plans.pipeline``).
+
+    ``assume_unconverged=True`` runs the first large/small-star round before the
+    first fixed-point probe: a caller clustering freshly-verified pair edges
+    knows the input is a raw pairing graph, never a converged star forest (any
+    corpus with a duplicate family fails the probe), so probing first just adds
+    one full-edge-set shuffle of constant driver-sequential latency per run.
+    Callers re-clustering prior assignments keep the default probe-first order
+    and converge in zero rounds. ``input_distinct=True`` skips the initial
+    dedup shuffle — correct when the caller guarantees one row per undirected
+    pair (e.g. edges straight out of ``accept_edges``, whose candidate source
+    dedups on the pair key); orientation canonicalization is a projection and
+    cannot introduce duplicates.
 
     The final round's checkpoint stays alive (the returned plan reads from it);
     every earlier round is unpersisted as soon as it is superseded."""
@@ -142,16 +157,19 @@ def connected_components(
             F.least("id_a", "id_b").alias("id_b"),
         )
         .where(F.col("id_a") != F.col("id_b"))
-        .distinct()
-        .localCheckpoint()
     )
+    if not input_distinct:
+        cur = cur.distinct()
+    cur = cur.localCheckpoint()
     live = _persistent_rdd_ids(spark) - before
     # the star-forest test detects the fixed point directly, so an
     # already-converged input (e.g. re-clustering assignment edges plus a few
     # new span edges) runs zero rounds, and convergence costs one semi-join
     # instead of one confirmation round
     rounds = 0
-    while not _is_star_forest(cur):
+    first_probe_skipped = assume_unconverged
+    while first_probe_skipped or not _is_star_forest(cur):
+        first_probe_skipped = False
         if rounds >= max_iterations:
             raise RuntimeError(
                 f"connected_components did not converge in {max_iterations} rounds"

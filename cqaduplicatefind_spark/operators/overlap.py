@@ -220,22 +220,40 @@ def span_candidates(
         F.explode(fp_col).alias("fp"),
     )
     if assignments is not None:
-        from pyspark.sql import Window
         # drop CLUSTER-PURE buckets before the pairing join: a fingerprint bucket
         # whose members all share one cluster can emit no surviving pair, and on
         # near-duplicate-heavy corpora that is almost every bucket (a family of
         # near-identical docs shares nearly all its fingerprints and is already
-        # one LSH cluster). Without this gate the self-join materializes the
-        # bucket's full pair volume only for the pair filter to discard it. The
-        # window partitions by the same bucket key as the pairing windows, so
-        # the gate rides their exchange — no extra shuffle.
-        bw = Window.partitionBy(*extras, "fp")
-        fps = (
-            fps.withColumn("_cl_lo", F.min("_cl").over(bw))
-            .withColumn("_cl_hi", F.max("_cl").over(bw))
-            .where(F.col("_cl_lo") != F.col("_cl_hi"))
-            .drop("_cl_lo", "_cl_hi")
+        # one LSH cluster). HETEROGENEOUS buckets (>= 2 clusters) are found with
+        # a partial aggregation over the slim (fp, cluster) projection — map-side
+        # combine collapses a duplicate family's near-identical fingerprint sets
+        # before the exchange, so this shuffles far less than sorting every
+        # exploded row through a window. The aggregate doubles as the corpus
+        # precheck: when NO bucket is heterogeneous (the common case once LSH
+        # has clustered the near-dups), discovery short-circuits to an empty
+        # frame and the pairing kernel, pair-dedup shuffle, and checkpoint are
+        # never launched at all.
+        het_keys = (
+            fps.groupBy(*extras, "fp")
+            .agg(F.min("_cl").alias("_lo"), F.max("_cl").alias("_hi"))
+            .where(F.col("_lo") != F.col("_hi"))
+            .select(*extras, "fp")
         )
+        n_het = het_keys.count()
+        if n_het == 0:
+            return normalized.sparkSession.createDataFrame(
+                [], "id_a string, id_b string"
+            )
+        # semi-join the exploded rows on the heterogeneous bucket keys; the het
+        # set is usually tiny (boilerplate shells linking clusters), so ship it
+        # broadcast — with a count-based fallback to a shuffle semi-join so an
+        # adversarial corpus (cross-cluster boilerplate in every bucket) cannot
+        # blow up the driver. The aggregate runs again inside the join branch;
+        # its input explodes from the persisted signatures cache and the
+        # re-aggregation is map-side-combined, far cheaper than persisting the
+        # exploded rows just to avoid it.
+        het = F.broadcast(het_keys) if n_het <= 1_000_000 else het_keys
+        fps = fps.join(het, [*extras, "fp"], "semi")
         carry = ("_cl",)
 
         def pair_filter(pairs: DataFrame) -> DataFrame:

@@ -54,6 +54,7 @@ def score_pairs(
     evidence: str = "both",
     extra_scorers: dict | None = None,
     extra_carry: tuple[str, ...] = (),
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id_a, id_b) -> scored pairs.
 
@@ -89,6 +90,9 @@ def score_pairs(
     }[evidence] + tuple(extra_carry)
     a = _doc_side(signatures, id_col, "a", carry)
     b = _doc_side(signatures, id_col, "b", carry)
+    # no join-strategy hint: an A/B at 600k docs measured shuffle_hash hints on
+    # the doc sides as indistinguishable from sort-merge end-to-end (host-drift
+    # noise dominated), so the default stays
     scored = pairs.join(a, "id_a").join(b, "id_b")
 
     # empty-shingle docs share simhash=0; force max Hamming so the SimHash route
@@ -160,18 +164,26 @@ def score_pairs(
     return scored.select(
         "id_a", "id_b", "est_jaccard", "hamming", "jaccard", "containment",
         *extra_names,
+        *keep_cols,
     )
 
 
-def accept_edges(scored: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """Thresholded duplicate edges: exact Jaccard >= threshold, OR near-zero Hamming
-    (SimHash path, ``cfg.accept_hamming``), OR high containment (substring pairs
-    for the overlap pass, ``cfg.containment_accept``)."""
+def accept_condition(cfg: DedupConfig):
+    """The boolean accept column over a scored frame: exact Jaccard >= threshold,
+    OR near-zero Hamming (SimHash path, ``cfg.accept_hamming``), OR high
+    containment (substring pairs, ``cfg.containment_accept``). Exposed so callers
+    can derive the REJECTED side of the same decision (the rescue round's orphan
+    probe) as a filter over the persisted scored frame instead of re-joining."""
     accept = F.col("jaccard") >= F.lit(cfg.jaccard_threshold)
     if cfg.accept_hamming:
         accept = accept | (F.col("hamming") <= F.lit(cfg.hamming_k))
     if cfg.containment_accept is not None:
         accept = accept | (F.col("containment") >= F.lit(cfg.containment_accept))
-    return scored.where(accept).select(
+    return accept
+
+
+def accept_edges(scored: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Thresholded duplicate edges — ``accept_condition`` applied to ``scored``."""
+    return scored.where(accept_condition(cfg)).select(
         "id_a", "id_b", "jaccard", "est_jaccard", "hamming", "containment"
     )

@@ -194,9 +194,17 @@ def run_pipeline(
         lambda: candidate_stage(signatures, cfg, group_col, mode="base"),
         reused=True,  # feeds scoring AND the rescue round's orphan derivation
     )
+    # is_star rides through scoring so the rescue round's orphan probe can read
+    # the rejected side of the accept decision straight off the scored frame
+    # (see below) instead of anti-joining two million-row frames
+    has_star = "is_star" in candidates.columns  # absent: pre-upgrade checkpoint
     scored = stage(
         "scored_pairs",
-        lambda: score_pairs(candidates, signatures, cfg, evidence=cfg.verify_evidence),
+        lambda: score_pairs(
+            candidates, signatures, cfg, evidence=cfg.verify_evidence,
+            keep_cols=("is_star",) if has_star else (),
+        ),
+        reused=has_star and cfg.verify_evidence == "exact",  # edges + orphan probe
     )
     edges = stage("dup_edges", lambda: accept_edges(scored, cfg), reused=True)
 
@@ -209,15 +217,29 @@ def run_pipeline(
     # On homogeneous corpora (hot bands = one dup family, stars all pass) the
     # orphan set is empty and the round is skipped: the pipeline pays O(m) per
     # hot bucket, never C(m,2)/n_sub, unless verify proves a band heterogeneous.
-    has_star = "is_star" in candidates.columns  # absent: pre-upgrade checkpoint
     rescue_edges = None
     if has_star:
-        orphans = (
-            candidates.where(F.col("is_star"))
-            .join(edges.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti")
-            .select(F.explode(F.array("id_a", "id_b")).alias("id"))
-            .distinct()
-        )
+        if cfg.verify_evidence == "exact" and "is_star" in scored.columns:
+            # evidence="exact" has no estimate prefilter, so EVERY candidate
+            # pair reaches the scored frame and a rejected star edge is simply
+            # a scored row failing the accept condition — one filter over the
+            # persisted scored cache, no join. ("both"/"estimate" drop
+            # implausible pairs before scoring; a prefiltered-away star edge is
+            # also a rejection, so those modes keep the anti-join below.)
+            from cqaduplicatefind_spark.operators.verify import accept_condition
+
+            orphans = (
+                scored.where(F.col("is_star") & ~accept_condition(cfg))
+                .select(F.explode(F.array("id_a", "id_b")).alias("id"))
+                .distinct()
+            )
+        else:
+            orphans = (
+                candidates.where(F.col("is_star"))
+                .join(edges.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti")
+                .select(F.explode(F.array("id_a", "id_b")).alias("id"))
+                .distinct()
+            )
         # count, not isEmpty: orphans is usually EMPTY (homogeneous corpora),
         # and take(1) on an empty frame runs its scan in several escalating
         # waves — each wave re-driving the candidate+verify mega-job's final
@@ -257,9 +279,15 @@ def run_pipeline(
     if cfg.span_pass and cfg.min_overlap_span > 0:
         from cqaduplicatefind_spark.operators.overlap import exact_span_edges
 
+        # accept_edges output is one row per undirected pair (candidate dedup)
+        # and a fresh pairing graph is never a converged star forest: skip the
+        # initial dedup shuffle and the first fixed-point probe
         pre_assign = stage(
             "pre_clusters",
-            lambda: connected_components(edges.select("id_a", "id_b")),
+            lambda: connected_components(
+                edges.select("id_a", "id_b"),
+                assume_unconverged=True, input_distinct=True,
+            ),
         )
         overlap_edges = stage(
             "overlap_edges",
@@ -280,13 +308,18 @@ def run_pipeline(
                 lambda: attach_singletons(pages.select("url"), pre_assign),
             )
         else:
+            # assignment stars and span edges are disjoint by construction
+            # (same-cluster span pairs were excluded pre-verify), so the union
+            # is already distinct; probe-first stays — span edges alone CAN be
+            # a converged forest (containment pairs among otherwise-unique docs)
             all_edges = pre_assign.select(
                 F.col("id").alias("id_a"), F.col("cluster_id").alias("id_b")
             ).unionByName(overlap_edges.select("id_a", "id_b"))
             clusters = stage(
                 "clusters",
                 lambda: attach_singletons(
-                    pages.select("url"), connected_components(all_edges)
+                    pages.select("url"),
+                    connected_components(all_edges, input_distinct=True),
                 ),
             )
     else:
@@ -294,7 +327,10 @@ def run_pipeline(
             "clusters",
             lambda: attach_singletons(
                 pages.select("url"),
-                connected_components(edges.select("id_a", "id_b")),
+                connected_components(
+                    edges.select("id_a", "id_b"),
+                    assume_unconverged=True, input_distinct=True,
+                ),
             ),
         )
 
