@@ -58,6 +58,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
 
+# checkpoint handles from the previous q_exact_span_pairs invocation — released
+# on the next call (the returned frame reads from them, so they can't be freed
+# within the call itself); see the comment at the use site
+_SPAN_ORACLE_HANDLES: list = []
+
 
 def _register(name: str, sql: str | None):
     def deco(fn):
@@ -739,7 +744,14 @@ def q_exact_span_pairs(spark, sf):
         F.col("text").alias("norm_text"),
     )
     c = DedupConfig(min_overlap_span=15, shuffle_partitions=32)
-    return exact_span_edges(docs, c).select(
+    # the span-candidate localCheckpoint feeds the returned (lazy) frame, so it
+    # cannot be freed here; release the PREVIOUS invocation's blocks instead —
+    # bounded storage across repeated harness runs (bench times twice,
+    # check_oracle runs every query) instead of a per-call leak
+    for h in _SPAN_ORACLE_HANDLES:
+        h.unpersist()
+    _SPAN_ORACLE_HANDLES.clear()
+    return exact_span_edges(docs, c, persisted=_SPAN_ORACLE_HANDLES).select(
         "id_a", "id_b", F.col("overlap_span").cast("int").alias("overlap_span")
     )
 
@@ -1047,7 +1059,9 @@ def q_streaming_incremental_edges(spark, sf):
     (``compact_every=3``). Capability analog of the reference's incremental
     partial-progress builder (src/archive/MyReader2.py:16,41-42), re-expressed
     as a Structured-Streaming foreachBatch index."""
+    import atexit
     import os
+    import shutil
     import tempfile
 
     from cqaduplicatefind_spark.functions.signatures import with_signatures
@@ -1063,7 +1077,16 @@ def q_streaming_incremental_edges(spark, sf):
         pages.withColumn("norm_text", F.col("text")), cfg, "norm_text"
     ).select(*SIG_COLS)
 
-    work = tempfile.mkdtemp(prefix="stream_oracle_")
+    # pid-keyed fixed path, wiped at the start of each invocation and at
+    # interpreter exit: the returned frame reads the match store lazily, so the
+    # store can't be deleted within the call, but repeated harness runs (bench
+    # times each query twice, check_oracle runs all of them) must not
+    # accumulate one full band/sig/match store per invocation in /tmp
+    work = os.path.join(
+        tempfile.gettempdir(), f"stream_oracle_{os.getpid()}"
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
     dedup = IncrementalDedup(
         spark,
         cfg,
@@ -1147,9 +1170,10 @@ def q_pipeline_cluster_assignments(spark, sf):
       SELECT a.cluster_id, a.url, q.quality,
              count(*) OVER (PARTITION BY a.cluster_id) AS n_members,
              row_number() OVER (
-               PARTITION BY a.cluster_id ORDER BY q.quality DESC, a.url ASC
+               PARTITION BY a.cluster_id
+               ORDER BY q.quality DESC NULLS LAST, a.url ASC
              ) AS rn
-      FROM assign a JOIN q USING (url)
+      FROM assign a LEFT JOIN q USING (url)
     ) WHERE rn = 1
     """,
 )

@@ -153,7 +153,7 @@ def bench_pipeline(spark, sf_dir: str) -> dict[str, float]:
         t_span.append(t)
     times["full_pipeline"] = min(t_nospan)
     times["full_pipeline_with_span"] = min(t_span)
-    bench_pipeline._runs = {
+    times["_runs"] = {
         "full_pipeline": [round(x, 2) for x in t_nospan],
         "full_pipeline_with_span": [round(x, 2) for x in t_span],
     }
@@ -263,6 +263,7 @@ def main():
     queries: dict[str, float] = {}
     pipe = bench_pipeline(spark, sf_dir)
     n_docs = int(pipe.pop("_n_docs"))
+    pipeline_runs = pipe.pop("_runs", {})
     queries.update({k: round(v, 3) for k, v in pipe.items()})
     queries.update({k: round(v, 3) for k, v in bench_queries(spark, sf_dir).items()})
 
@@ -282,7 +283,7 @@ def main():
                 # per-run lists for the interleaved pipeline legs: makes the
                 # variance (hypervisor burst throttling) visible in the
                 # artifact itself instead of only in the min
-                "pipeline_runs": getattr(bench_pipeline, "_runs", {}),
+                "pipeline_runs": pipeline_runs,
             }
         )
     )

@@ -52,6 +52,13 @@ def decode_ppm(payload: bytes) -> np.ndarray:
         raise ValueError(f"only maxval=255 supported, got {maxval}")
     channels = 3 if payload[:2] == b"P6" else 1
     n = w * h * channels
+    # tolerate CRLF (or extra whitespace) after maxval — some writers emit
+    # '255\r\n'. Only SURPLUS bytes are consumed: pixel data may legitimately
+    # start with a whitespace-valued byte, so never eat into the final n bytes.
+    while len(payload) - i > n and payload[i : i + 1].isspace():
+        i += 1
+    if len(payload) - i < n:
+        raise ValueError("truncated netpbm payload")
     arr = np.frombuffer(payload, dtype=np.uint8, count=n, offset=i).reshape(
         h, w, channels
     )

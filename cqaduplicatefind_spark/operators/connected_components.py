@@ -130,12 +130,14 @@ def connected_components(
     with a left join + coalesce (see ``plans.pipeline``).
 
     ``assume_unconverged=True`` runs the first large/small-star round before the
-    first fixed-point probe: a caller clustering freshly-verified pair edges
-    knows the input is a raw pairing graph, never a converged star forest (any
-    corpus with a duplicate family fails the probe), so probing first just adds
-    one full-edge-set shuffle of constant driver-sequential latency per run.
-    Callers re-clustering prior assignments keep the default probe-first order
-    and converge in zero rounds. ``input_distinct=True`` skips the initial
+    first fixed-point probe. Tradeoff, not a free win: a raw pairing graph with
+    any duplicate family of 3+ docs fails the probe, so probing first adds one
+    full-edge-set shuffle of driver-sequential latency per run — but a corpus
+    whose accepted edges are ALL disjoint 2-doc pairs (or empty) is already a
+    star forest after canonicalization, and skipping the probe costs it one
+    wasted star round. Web dedup corpora are family-heavy, so the flagship
+    callers opt in; callers re-clustering prior assignments keep the default
+    probe-first order and converge in zero rounds. ``input_distinct=True`` skips the initial
     dedup shuffle — correct when the caller guarantees one row per undirected
     pair (e.g. edges straight out of ``accept_edges``, whose candidate source
     dedups on the pair key); orientation canonicalization is a projection and

@@ -71,13 +71,21 @@ def canonical_per_cluster(
     partial combine, so a hot cluster's members reduce locally on every input
     partition and only one candidate row per (partition, cluster) crosses the
     shuffle. The composite struct makes the winner unique, so min_by's
-    tie-behavior never matters."""
+    tie-behavior never matters.
+
+    Members with no score row (left join) or a NULL score still count in
+    ``n_members`` and rank LAST for representative selection (+inf ordering
+    key) — an unscored doc can only represent a cluster nothing else scored;
+    a cluster is never silently dropped from the deduplicated corpus."""
     joined = clusters.select(
         F.col(id_col).alias("_id"), F.col(cluster_col).alias("_cid")
-    ).join(scores.select(F.col(id_col).alias("_id"), F.col(score_col)), "_id")
+    ).join(
+        scores.select(F.col(id_col).alias("_id"), F.col(score_col)), "_id", "left"
+    )
+    order_key = F.coalesce((-F.col(score_col)).cast("double"), F.lit(float("inf")))
     rep = F.min_by(
         F.struct(F.col("_id"), F.col(score_col)),
-        F.struct((-F.col(score_col)).alias("neg_score"), F.col("_id").alias("id")),
+        F.struct(order_key.alias("neg_score"), F.col("_id").alias("id")),
     )
     return (
         joined.groupBy("_cid")

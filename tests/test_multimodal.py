@@ -103,6 +103,23 @@ def test_ppm_header_comments():
     assert np.array_equal(decode_ppm(payload), img)
 
 
+def test_ppm_crlf_after_maxval_and_truncation():
+    """Windows-style writers end the header with '255\\r\\n'; the decoder must
+    skip the surplus whitespace instead of shifting every pixel by one byte —
+    including when the first pixel byte is itself whitespace-valued. A payload
+    shorter than w*h*channels raises instead of crashing in numpy."""
+    import pytest
+
+    from cqaduplicatefind_spark.functions.imagecodec import decode_ppm
+
+    img = _rand_img((2, 3, 3), 5)
+    img[0, 0, 0] = 0x20  # whitespace-valued first pixel byte stays data
+    payload = b"P6\n3 2\n255\r\n" + img.tobytes()
+    assert np.array_equal(decode_ppm(payload), img)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_ppm(b"P6\n3 2\n255\n" + img.tobytes()[:-1])
+
+
 def test_png_round_trip_all_color_types():
     from cqaduplicatefind_spark.functions.imagecodec import decode_png, encode_png
 
