@@ -91,6 +91,14 @@ class IncrementalDedup:
         self.matches_dir = matches_dir
         self.compact_every = compact_every
         self.batch_stats: list[dict] = []
+        # logical band-index size, maintained arithmetically so the per-batch
+        # stats never pay an O(index) count scan (the same per-trigger scale
+        # hazard class the touched-bucket semi-join removes from pairing):
+        # base = rows already in the store when this processor first runs
+        # (one-time count on restart), plus per-batch appended row counts
+        # keyed by batch_id so idempotent replays overwrite, not double-count
+        self._band_rows_base: int | None = None
+        self._band_rows_by_batch: dict[int, int] = {}
         for d in (bands_dir, sigs_dir, matches_dir):
             os.makedirs(d, exist_ok=True)
 
@@ -168,7 +176,12 @@ class IncrementalDedup:
                 all_bands = new_bands
                 idx_touched = None
                 n_idx_joined = 0
+                self._band_rows_base = 0
             else:
+                if self._band_rows_base is None:
+                    # restart over an existing store: one-time recovery count;
+                    # every later batch maintains the total arithmetically
+                    self._band_rows_base = idx_bands.count()
                 # bound per-batch pairing work by TOUCHED buckets: only index
                 # rows whose (band, bh) bucket also contains a new row can ever
                 # pair (every pair must involve a new doc), so the pairing
@@ -204,23 +217,28 @@ class IncrementalDedup:
             ).persist()
             n_cand = cand.count()
 
-            # fetch signature payloads ONLY for ids in candidate pairs
-            ids = (
-                cand.select(F.col("id_a").alias("url"))
-                .unionByName(cand.select(F.col("id_b").alias("url")))
-                .distinct()
-            )
-            idx_sigs = self._read_batches(self.sigs_dir)
-            store = (
-                batch_df.select(*SIG_COLS)
-                if idx_sigs is None
-                else idx_sigs.unionByName(batch_df.select(*SIG_COLS))
-            )
-            needed = (
-                store.join(ids, "url", "left_semi")
-                .dropDuplicates(["url"])  # compaction crash-window tolerance
-                .persist()
-            )
+            # fetch signature payloads ONLY for ids in candidate pairs; a
+            # quiet batch (zero candidates) skips the store read entirely —
+            # otherwise the semi-join still scans every sig part for nothing
+            if n_cand == 0:
+                needed = batch_df.select(*SIG_COLS).limit(0).persist()
+            else:
+                ids = (
+                    cand.select(F.col("id_a").alias("url"))
+                    .unionByName(cand.select(F.col("id_b").alias("url")))
+                    .distinct()
+                )
+                idx_sigs = self._read_batches(self.sigs_dir)
+                store = (
+                    batch_df.select(*SIG_COLS)
+                    if idx_sigs is None
+                    else idx_sigs.unionByName(batch_df.select(*SIG_COLS))
+                )
+                needed = (
+                    store.join(ids, "url", "left_semi")
+                    .dropDuplicates(["url"])  # compaction crash-window tolerance
+                    .persist()
+                )
             n_payload = needed.count()
 
             edges = accept_edges(
@@ -234,7 +252,13 @@ class IncrementalDedup:
                 {
                     "batch_id": int(batch_id),
                     "n_new_docs": batch_df.count(),
-                    "n_index_band_rows": 0 if idx_bands is None else idx_bands.count(),
+                    # logical index size BEFORE this batch, from the running
+                    # total (a replayed batch's own prior append is excluded —
+                    # its overwrite replaces those rows, they are not "index")
+                    "n_index_band_rows": self._band_rows_base + sum(
+                        v for b, v in self._band_rows_by_batch.items()
+                        if b != int(batch_id)
+                    ),
                     # band rows that actually entered the pairing kernel —
                     # O(touched buckets), the per-batch work bound
                     "n_index_band_rows_joined": n_idx_joined,
@@ -247,6 +271,7 @@ class IncrementalDedup:
             new_bands.drop("is_new").write.mode("overwrite").parquet(
                 os.path.join(self.bands_dir, f"batch={batch_id}")
             )
+            self._band_rows_by_batch[int(batch_id)] = new_bands.count()
             batch_df.select(*SIG_COLS).write.mode("overwrite").parquet(
                 os.path.join(self.sigs_dir, f"batch={batch_id}")
             )

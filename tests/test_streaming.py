@@ -206,3 +206,8 @@ def test_tiered_compaction_bounds_parts_and_survives_replay(spark, tmp_path):
     dedup.process_batch(sigs_for(K - 1), K - 1)
     got2 = {(r.id_a, r.id_b) for r in dedup.matches().collect()}
     assert got2 == want
+    # the running index-size stat is LOGICAL: the replayed batch's own earlier
+    # append is excluded (its overwrite replaces those rows), and the
+    # crash-window physical duplicates left by compaction never inflate it —
+    # and it is maintained arithmetically, never by an O(index) count scan
+    assert dedup.batch_stats[-1]["n_index_band_rows"] == (K - 1) * 2 * cfg.bands
