@@ -1203,6 +1203,134 @@ def q_canonical_docs(spark, sf):
     return canonical_per_cluster(result.clusters, quality, "quality")
 
 
+# ---------- URL tier: canonicalization + capture dedup (webtext forward path) ----------
+#
+# The oracle tables carry no url column, so BOTH sides synthesize the same
+# messy WARC-style URLs deterministically from doc_id — mixed-case scheme/host,
+# www. prefixes, default and non-default ports, trailing slashes, tracking
+# params, unsorted query params, fragments — and the oracle then checks the
+# full canonicalization semantics end-to-end, not just a happy path.
+
+_MESSY_URL_SQL = """
+      (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END)
+      || '://WWW.Site-' || CAST(doc_id % 50 AS VARCHAR) || '.Example.COM'
+      || (CASE WHEN doc_id % 11 = 0 THEN
+                 (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
+               WHEN doc_id % 13 = 0 THEN ':8080' ELSE '' END)
+      || '/p/' || CAST(doc_id % 200 AS VARCHAR)
+      || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+      || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&b=2&a=1'
+               WHEN doc_id % 4 = 1 THEN '?b=2&a=1&gclid=XYZ'
+               WHEN doc_id % 4 = 2 THEN '?a=1&b=2' ELSE '' END)
+      || (CASE WHEN doc_id % 6 = 0 THEN '#Section-2' ELSE '' END)
+"""
+
+# the canonicalization semantics of functions/urls.py, restated in DuckDB SQL
+# (regexes identical; ASCII input, so Java-regex vs RE2 agree byte-for-byte)
+_CANON_URL_CTES = f"""
+    u AS (SELECT doc_id, {_MESSY_URL_SQL} AS url FROM documents),
+    -- coalesce every extraction: DuckDB regexp_extract is NULL on no match
+    -- where Spark's returns '' — the canonical form treats both as absent
+    parts AS (
+      SELECT doc_id, url,
+        lower(coalesce(regexp_extract(url, '^([^:/?#]+)://', 1), '')) AS scheme,
+        regexp_replace(regexp_replace(
+          lower(coalesce(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1), '')),
+          '^www\\.', ''), ':[0-9]*$', '') AS host,
+        coalesce(regexp_extract(
+          coalesce(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1), ''),
+          ':([0-9]+)$', 1), '') AS port,
+        regexp_replace(
+          coalesce(regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1), ''),
+          '/+$', '') AS path,
+        coalesce(array_to_string(list_sort(list_filter(
+          string_split(coalesce(regexp_extract(url, '^[^#?]*\\?([^#]*)', 1), ''), '&'),
+          x -> x <> '' AND NOT starts_with(string_split(x, '=')[1], 'utm_')
+               AND string_split(x, '=')[1] NOT IN
+                 ('gclid','fbclid','msclkid','yclid','igshid','mc_cid','mc_eid')
+        )), '&'), '') AS q
+      FROM u
+    ),
+    canon AS (
+      SELECT doc_id, url, host,
+        scheme || '://' || host
+        || (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                      OR (scheme = 'https' AND port = '443')
+                 THEN '' ELSE ':' || port END)
+        || path
+        || (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS canonical_url
+      FROM parts
+    )
+"""
+
+
+def _messy_urls(docs: DataFrame) -> DataFrame:
+    """(doc_id, url) with the same deterministic mess as ``_MESSY_URL_SQL``."""
+    d = F.col("doc_id")
+    s = lambda m: (d % m).cast("string")  # noqa: E731
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("http")),
+        F.lit("://WWW.Site-"), s(50), F.lit(".Example.COM"),
+        F.when(
+            d % 11 == 0,
+            F.when(d % 2 == 0, F.lit(":443")).otherwise(F.lit(":80")),
+        ).when(d % 13 == 0, F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("/p/"), s(200),
+        F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 4 == 0, F.lit("?utm_source=feed&b=2&a=1"))
+        .when(d % 4 == 1, F.lit("?b=2&a=1&gclid=XYZ"))
+        .when(d % 4 == 2, F.lit("?a=1&b=2"))
+        .otherwise(F.lit("")),
+        F.when(d % 6 == 0, F.lit("#Section-2")).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", url.alias("url"))
+
+
+@_register(
+    "url_canonicalize",
+    f"WITH {_CANON_URL_CTES} SELECT doc_id, url, canonical_url, host FROM canon",
+)
+def q_url_canonicalize(spark, sf):
+    """WARC-Target-URI canonicalization (functions/urls.py) hash-matched against
+    a DuckDB restatement of the same semantics: scheme/host lowering, www. and
+    default-port stripping, trailing-slash collapse, tracking-param removal,
+    query byte-sort, fragment drop — pure Catalyst expressions, shuffle-free
+    (asserted in tests/test_urls.py). The cheapest dedup tier for web corpora;
+    no reference analog (its keys are forum question ids, SURVEY §2)."""
+    from cqaduplicatefind_spark.functions.urls import url_host, with_canonical_url
+
+    docs = _read(spark, sf, "documents")
+    return with_canonical_url(_messy_urls(docs)).withColumn(
+        "host", url_host(F.col("url"))
+    )
+
+
+@_register(
+    "latest_capture_per_url",
+    f"""
+    WITH {_CANON_URL_CTES}
+    SELECT canonical_url,
+           count(*) AS n_captures,
+           max(doc_id) AS latest_ts,
+           arg_max(url, doc_id) AS latest_url
+    FROM canon GROUP BY canonical_url
+    """,
+)
+def q_latest_capture_per_url(spark, sf):
+    """URL-tier dedup: collapse re-crawled captures of the same logical page
+    BEFORE content dedup — one aggregation on canonical_url (single exchange,
+    map-side combined, no window; asserted in tests/test_urls.py), keeping the
+    newest capture (warc_ts = doc_id here, distinct by construction, so the
+    deterministic max_by tie-break is exercised but never decides)."""
+    from cqaduplicatefind_spark.functions.urls import latest_capture_per_url
+
+    docs = _read(spark, sf, "documents")
+    captures = _messy_urls(docs).withColumn("warc_ts", F.col("doc_id"))
+    return latest_capture_per_url(captures, ts_col="warc_ts").select(
+        "canonical_url", "n_captures", "latest_ts", "latest_url"
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
