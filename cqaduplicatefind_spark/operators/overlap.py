@@ -213,6 +213,15 @@ def span_candidates(
             id_col,
             "left",
         ).withColumn("_cl", F.coalesce(F.col("_cl"), F.col(id_col)))
+        # the purity aggregate and the cross-cluster pair filter only ever test
+        # cluster EQUALITY, so carry an 8-byte hash of the cluster id instead of
+        # the id string itself: cluster ids are urls (tens of bytes), and at
+        # ~10^2 fingerprints per doc they dominate the aggregate's exchange —
+        # hashing cuts that shuffle ~3x. Cost: two distinct clusters colliding
+        # in xxhash64 would wrongly prune their buckets/pairs — a ~2^-64
+        # per-pair recall risk, the same class (and far below) the rolling-hash
+        # span verify already documents.
+        docs = docs.withColumn("_cl", F.xxhash64("_cl"))
     fps = docs.select(
         F.col(id_col).alias("id"),
         *extras,
