@@ -1331,6 +1331,171 @@ def q_latest_capture_per_url(spark, sf):
     )
 
 
+# ---------- PII redaction (functions/pii.py) ----------
+
+# deterministic PII mess appended to every doc: one email always, a second
+# email on every 3rd doc (so the global 'g' replace is exercised), an IPv4,
+# and alternating short/long phone forms. Same construction in both engines.
+_PII_TEXT_SQL = (
+    "text || ' contact user' || (doc_id % 1000) || '@mail.example.com'"
+    " || CASE WHEN doc_id % 3 = 0"
+    "      THEN ' backup ' || (doc_id % 50) || 'admin@ops.example.org'"
+    "      ELSE '' END"
+    " || ' from 10.' || (doc_id % 256) || '.' || (doc_id % 256) || '.'"
+    " || (doc_id % 200)"
+    " || CASE WHEN doc_id % 2 = 0"
+    "      THEN ' call 555-0' || lpad((doc_id % 1000)::varchar, 3, '0')"
+    "      ELSE ' call 415-555-0199' END"
+)
+
+
+def _pii_docs(docs: DataFrame) -> DataFrame:
+    d = F.col("doc_id")
+    s = lambda m: (d % m).cast("string")  # noqa: E731
+    text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), s(1000), F.lit("@mail.example.com"),
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit(" backup "), s(50), F.lit("admin@ops.example.org")),
+        ).otherwise(F.lit("")),
+        F.lit(" from 10."), s(256), F.lit("."), s(256), F.lit("."), s(200),
+        F.when(
+            d % 2 == 0,
+            F.concat(F.lit(" call 555-0"), F.lpad(s(1000), 3, "0")),
+        ).otherwise(F.lit(" call 415-555-0199")),
+    )
+    return docs.select("doc_id", text.alias("text"))
+
+
+@_register(
+    "pii_redaction",
+    f"""
+    WITH pii AS (SELECT doc_id, {_PII_TEXT_SQL} AS text FROM documents)
+    SELECT doc_id,
+      regexp_replace(regexp_replace(regexp_replace(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+        '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g'),
+        '\\b\\d{{3}}[- ](\\d{{3}}[- ])?\\d{{4}}\\b', '<PHONE>', 'g') AS clean_text,
+      len(regexp_extract_all(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_email,
+      len(regexp_extract_all(text,
+        '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS n_ip,
+      len(regexp_extract_all(text,
+        '\\b\\d{{3}}[- ](\\d{{3}}[- ])?\\d{{4}}\\b')) AS n_phone
+    FROM pii
+    """,
+)
+def q_pii_redaction(spark, sf):
+    """PII scrubbing (functions/pii.py): emails -> <EMAIL>, IPv4 -> <IP>,
+    phone-shaped numbers -> <PHONE>, fixed order, plus per-kind audit counts
+    on the raw text — hash-matched byte-for-byte against a DuckDB
+    regexp_replace/'g' restatement (patterns restricted to the Java-regex /
+    RE2 common dialect on purpose). Pure Catalyst projection: shuffle-free,
+    codegen, free at 10^12 rows (asserted in tests/test_pii.py). No
+    reference analog (SURVEY §2 — forum questions carry no redaction pass)."""
+    from cqaduplicatefind_spark.functions.pii import with_pii_redacted
+
+    docs = _pii_docs(_read(spark, sf, "documents"))
+    return with_pii_redacted(docs).select(
+        "doc_id", "clean_text", "n_email", "n_ip", "n_phone"
+    )
+
+
+# ---------- line-level boilerplate tier (operators/linededup.py) ----------
+
+# deterministic multi-line pages for the line tier: every doc framed by shared
+# nav/footer boilerplate (the header TWICE, so within-doc repeats exercise the
+# distinct-doc counting on both engines) plus one empty line (never boilerplate,
+# must survive removal). Same construction restated in both engines.
+_PAGE_SQL = (
+    "'home | about | news | contact' || chr(10) || '' || chr(10) || text"
+    " || chr(10) || 'home | about | news | contact'"
+    " || chr(10) || 'copyright ' || source || ' media group'"
+    " || chr(10) || 'all rights reserved'"
+)
+
+_LINE_CTES = f"""
+    pages AS (SELECT doc_id, {_PAGE_SQL} AS page FROM documents),
+    ls AS (SELECT doc_id, string_split(page, chr(10)) AS l FROM pages),
+    lines AS (
+      SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS pos FROM ls
+    ),
+    flat AS (SELECT doc_id, pos, l[pos] AS line FROM lines),
+    freq AS (
+      SELECT line, count(DISTINCT doc_id) AS n_docs
+      FROM flat WHERE line <> '' GROUP BY line
+    )
+"""
+
+
+def _framed_pages(docs: DataFrame) -> DataFrame:
+    page = F.concat_ws(
+        "\n",
+        F.lit("home | about | news | contact"),
+        F.lit(""),
+        F.col("text"),
+        F.lit("home | about | news | contact"),
+        F.concat(F.lit("copyright "), F.col("source"), F.lit(" media group")),
+        F.lit("all rights reserved"),
+    )
+    return docs.select("doc_id", page.alias("text"))
+
+
+@_register(
+    "line_boilerplate_stats",
+    f"""
+    WITH {_LINE_CTES}
+    SELECT n_docs, count(*) AS n_lines FROM freq GROUP BY n_docs
+    """,
+)
+def q_line_boilerplate_stats(spark, sf):
+    """Document-frequency histogram of distinct non-empty lines
+    (operators/linededup.py line_doc_freq): the frequency pass behind the
+    line-boilerplate tier, hash-matched against a DuckDB count(DISTINCT doc)
+    restatement over identical synthesized pages. The Spark side groups
+    8-byte xxhash64 line hashes (the scale path — the exchange never carries
+    line text); the histogram agrees unless two lines collide in 64 bits.
+    No reference analog (single-paragraph forum questions, SURVEY §2)."""
+    from cqaduplicatefind_spark.operators.linededup import line_doc_freq
+
+    docs = _framed_pages(_read(spark, sf, "documents"))
+    return (
+        line_doc_freq(docs, id_col="doc_id", text_col="text")
+        .groupBy("n_docs")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+@_register(
+    "line_dedup_docs",
+    f"""
+    WITH {_LINE_CTES},
+    boiler AS (SELECT line FROM freq WHERE n_docs >= 100),
+    kept AS (
+      SELECT f.doc_id, f.pos, f.line FROM flat f
+      WHERE NOT EXISTS (SELECT 1 FROM boiler b WHERE b.line = f.line)
+    )
+    SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+    FROM kept GROUP BY doc_id
+    """,
+)
+def q_line_dedup_docs(spark, sf):
+    """Line-level boilerplate removal (operators/linededup.py, CCNet/
+    RefinedWeb-style): strip every line appearing in >= 100 distinct docs,
+    preserve order and empty lines, drop all-boilerplate docs — the cleaned
+    corpus hash-matched end-to-end against a DuckDB NOT EXISTS + string_agg
+    restatement. One 8-byte-hash frequency exchange, a count-gated broadcast
+    anti-join, one reassembly shuffle (the only one that moves text).
+    No reference analog (SURVEY §2)."""
+    from cqaduplicatefind_spark.operators.linededup import remove_boilerplate_lines
+
+    docs = _framed_pages(_read(spark, sf, "documents"))
+    return remove_boilerplate_lines(
+        docs, min_doc_freq=100, id_col="doc_id", text_col="text"
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------

@@ -1,0 +1,131 @@
+"""Line-level boilerplate removal — the web pipeline's third dedup tier.
+
+A crawl corpus carries three kinds of duplication: whole-page re-captures
+(URL tier, ``functions/urls.py``), near-duplicate pages (MinHash/SimHash/span
+tiers, ``plans/pipeline.py``), and *repeated lines inside otherwise-distinct
+pages* — navigation bars, cookie banners, copyright footers — which no page-
+level tier touches because each hosting page is unique. CCNet and
+RefinedWeb-style pipelines remove a line when it recurs across enough
+documents; this module is that operator, Spark-first.
+
+The reference has no line tier (its inputs are single-paragraph forum
+questions, ``src/DataSetUtil.py:88-102`` strips HTML but never splits lines);
+this is a forward-path operator for the Common-Crawl-shaped input
+(BASELINE.json ``input_hint``).
+
+Scale shape (the part that matters at 10^12 docs):
+
+- the frequency pass never ships line text through its exchange: lines are
+  per-doc deduplicated map-side (``array_distinct`` inside the row, no
+  shuffle), hashed to 8 bytes (``xxhash64``), and the groupBy count is
+  map-side combined — the exchange carries (int64, partial count) rows only;
+- the boilerplate set (lines with document frequency >= ``min_doc_freq``) is
+  bounded by total_line_occurrences / min_doc_freq, tiny in practice; it is
+  broadcast when a cheap count says it fits (same count-gated pattern as the
+  span pass's heterogeneous-bucket semi-join), with a shuffle anti-join
+  fallback so an adversarial corpus cannot blow up the driver;
+- removal + reassembly is ONE exchange of the exploded lines (the anti-join
+  is broadcast in the common case, and the groupBy that re-assembles each
+  page is the only shuffle that moves text) — there is no per-row Python
+  anywhere, the whole operator is Catalyst expressions.
+
+Semantics (deterministic, oracle-restatable in ANSI SQL):
+
+- a "line" is a ``\\n``-split segment, compared byte-exactly (no trimming);
+- empty lines are never boilerplate (they carry no content and would
+  otherwise always cross the frequency threshold) and are preserved;
+- a line is boilerplate when it appears in >= ``min_doc_freq`` DISTINCT
+  documents (within-doc repeats count once);
+- documents whose every line is boilerplate disappear from the output — they
+  had no original content;
+- hash caveat: removal matches lines by ``xxhash64``, so two distinct lines
+  colliding in 64 bits could remove a non-boilerplate line — ~2^-64 per
+  distinct line, the same documented class as the rolling-hash span verify.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# above this many boilerplate lines, anti-join by shuffle instead of
+# broadcast (8-byte hashes: 1M rows ~ 8 MB broadcast, comfortably small)
+BROADCAST_MAX_BOILER = 1_000_000
+
+
+def _split_lines(text: Column) -> Column:
+    return F.split(text, "\n")
+
+
+def line_doc_freq(
+    docs: DataFrame, id_col: str = "url", text_col: str = "text"
+) -> DataFrame:
+    """Document frequency per distinct non-empty line: ``(line_hash, n_docs)``.
+
+    Per-doc distinct happens inside the row (``array_distinct`` — map-side,
+    no shuffle), so the single exchange carries one 8-byte hash per
+    (document, distinct line) with map-side-combined partial counts.
+    """
+    per_doc = docs.select(
+        F.explode(
+            F.array_distinct(
+                F.filter(_split_lines(F.col(text_col)), lambda x: x != F.lit(""))
+            )
+        ).alias("line")
+    )
+    return (
+        per_doc.select(F.xxhash64("line").alias("line_hash"))
+        .groupBy("line_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def boilerplate_lines(
+    docs: DataFrame,
+    min_doc_freq: int,
+    id_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(line_hash, n_docs)`` for lines in >= ``min_doc_freq`` distinct docs."""
+    return line_doc_freq(docs, id_col, text_col).where(
+        F.col("n_docs") >= F.lit(min_doc_freq)
+    )
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    min_doc_freq: int,
+    id_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Strip boilerplate lines from every document; returns ``(id, text)``
+    with line order preserved and all-boilerplate documents dropped.
+
+    One frequency exchange over 8-byte hashes, one (usually broadcast)
+    anti-join, one reassembly exchange — the only shuffle that moves page
+    text. See module docstring for the full semantics and scale notes.
+    """
+    boiler = boilerplate_lines(docs, min_doc_freq, id_col, text_col).select(
+        F.col("line_hash").alias("_blh")
+    )
+    # count-gated broadcast, shuffle fallback (adversarial corpora can make
+    # the boilerplate set large; the driver must never be the bottleneck)
+    n_boiler = boiler.count()
+    if n_boiler <= BROADCAST_MAX_BOILER:
+        boiler = F.broadcast(boiler)
+
+    exploded = docs.select(
+        F.col(id_col),
+        F.posexplode(_split_lines(F.col(text_col))).alias("pos", "line"),
+    )
+    kept = exploded.join(
+        boiler, F.xxhash64(F.col("line")) == F.col("_blh"), "left_anti"
+    )
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias(text_col)
+    )
