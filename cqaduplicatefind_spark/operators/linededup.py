@@ -17,8 +17,11 @@ Scale shape (the part that matters at 10^12 docs):
 
 - the frequency pass never ships line text through its exchange: lines are
   per-doc deduplicated map-side (``array_distinct`` inside the row, no
-  shuffle), hashed to 8 bytes (``xxhash64``), and the groupBy count is
-  map-side combined — the exchange carries (int64, partial count) rows only;
+  shuffle), and both the document id and the line are hashed to 8 bytes
+  (``xxhash64``) before the exchange — a distinct over (doc_hash, line_hash)
+  16-byte rows (hash aggregate, map-side combined) collapses repeated
+  captures of the same document, then a second, much smaller map-side-combined
+  count per line_hash yields document frequency;
 - the boilerplate set (lines with document frequency >= ``min_doc_freq``) is
   bounded by total_line_occurrences / min_doc_freq, tiny in practice; it is
   broadcast when a cheap count says it fits (same count-gated pattern as the
@@ -35,12 +38,21 @@ Semantics (deterministic, oracle-restatable in ANSI SQL):
 - empty lines are never boilerplate (they carry no content and would
   otherwise always cross the frequency threshold) and are preserved;
 - a line is boilerplate when it appears in >= ``min_doc_freq`` DISTINCT
-  documents (within-doc repeats count once);
+  documents (within-doc repeats count once, and multiple capture rows of the
+  same document id count once — crawl input arrives multi-captured, so row
+  frequency would silently misclassify a much-recaptured page's unique
+  content as boilerplate);
 - documents whose every line is boilerplate disappear from the output — they
   had no original content;
-- hash caveat: removal matches lines by ``xxhash64``, so two distinct lines
-  colliding in 64 bits could remove a non-boilerplate line — ~2^-64 per
-  distinct line, the same documented class as the rolling-hash span verify.
+- hash caveat: removal matches lines by ``xxhash64`` (and distinct-document
+  counting matches documents by ``xxhash64`` of the id), so a 64-bit
+  collision could remove a non-boilerplate line or under-count a document —
+  ~2^-64 per distinct value, the same documented class as the rolling-hash
+  span verify;
+- ``remove_boilerplate_lines`` expects ONE ROW PER DOCUMENT ID (its
+  reassembly groups by id, so duplicate captures would interleave into one
+  garbled page) — run the URL tier's latest-capture collapse first;
+  ``line_doc_freq``/``boilerplate_lines`` are safe on multi-capture input.
 """
 
 from __future__ import annotations
@@ -59,21 +71,27 @@ def _split_lines(text: Column) -> Column:
 def line_doc_freq(
     docs: DataFrame, id_col: str = "url", text_col: str = "text"
 ) -> DataFrame:
-    """Document frequency per distinct non-empty line: ``(line_hash, n_docs)``.
+    """Document frequency per distinct non-empty line: ``(line_hash, n_docs)``
+    where ``n_docs`` counts DISTINCT document ids (multi-capture safe).
 
     Per-doc distinct happens inside the row (``array_distinct`` — map-side,
-    no shuffle), so the single exchange carries one 8-byte hash per
-    (document, distinct line) with map-side-combined partial counts.
+    no shuffle); the dominant exchange is a distinct over 16-byte
+    (doc_hash, line_hash) rows (hash aggregate, map-side combined — this is
+    what makes repeated captures of one document count once), and the
+    document-frequency count that follows exchanges only one row per distinct
+    line hash per partition.
     """
     per_doc = docs.select(
+        F.xxhash64(F.col(id_col)).alias("_dh"),
         F.explode(
             F.array_distinct(
                 F.filter(_split_lines(F.col(text_col)), lambda x: x != F.lit(""))
             )
-        ).alias("line")
+        ).alias("line"),
     )
     return (
-        per_doc.select(F.xxhash64("line").alias("line_hash"))
+        per_doc.select("_dh", F.xxhash64("line").alias("line_hash"))
+        .distinct()
         .groupBy("line_hash")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
@@ -96,19 +114,30 @@ def remove_boilerplate_lines(
     min_doc_freq: int,
     id_col: str = "url",
     text_col: str = "text",
+    persisted: list | None = None,
 ) -> DataFrame:
     """Strip boilerplate lines from every document; returns ``(id, text)``
     with line order preserved and all-boilerplate documents dropped.
+    Expects one row per ``id_col`` (see module docstring).
 
-    One frequency exchange over 8-byte hashes, one (usually broadcast)
-    anti-join, one reassembly exchange — the only shuffle that moves page
-    text. See module docstring for the full semantics and scale notes.
+    One frequency pass over hashed lines, one (usually broadcast) anti-join,
+    one reassembly exchange — the only shuffle that moves page text. The tiny
+    boilerplate set is persisted before the broadcast-gate count so the
+    corpus-wide frequency job runs ONCE, not once for the count and again for
+    the join; pass ``persisted`` (a list) to receive the cached frame for
+    ``unpersist()`` once the output is materialized (left cached otherwise —
+    it is one 8-byte column of boilerplate hashes).
     """
-    boiler = boilerplate_lines(docs, min_doc_freq, id_col, text_col).select(
-        F.col("line_hash").alias("_blh")
+    boiler = (
+        boilerplate_lines(docs, min_doc_freq, id_col, text_col)
+        .select(F.col("line_hash").alias("_blh"))
+        .persist()
     )
+    if persisted is not None:
+        persisted.append(boiler)
     # count-gated broadcast, shuffle fallback (adversarial corpora can make
-    # the boilerplate set large; the driver must never be the bottleneck)
+    # the boilerplate set large; the driver must never be the bottleneck).
+    # The count doubles as the persist materialization.
     n_boiler = boiler.count()
     if n_boiler <= BROADCAST_MAX_BOILER:
         boiler = F.broadcast(boiler)

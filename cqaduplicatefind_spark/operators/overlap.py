@@ -153,6 +153,7 @@ def span_candidates(
     group_col: str | None = None,
     dedup: bool = True,
     assignments: DataFrame | None = None,
+    persisted: list | None = None,
 ) -> DataFrame:
     """Corpus-level discovery: candidate pairs that MAY share an exact run of
     >= cfg.min_overlap_span tokens (guaranteed superset by the winnowing bound;
@@ -171,7 +172,15 @@ def span_candidates(
     rows (n rows, pre-explosion of pairs) and rides the bucket join as a carried
     column, so on near-duplicate-heavy corpora — where almost every raw span
     pair is already co-clustered — the dedup shuffle and the per-pair verify
-    only ever see the cross-cluster residue."""
+    only ever see the cross-cluster residue.
+
+    ``persisted`` (a list): when given, the heterogeneous-bucket aggregate is
+    cached so its two consumers (the count gate and the semi-join) share one
+    corpus-wide pass, and the cached frame is appended for the caller to
+    ``unpersist()`` once the candidates are materialized —
+    ``exact_span_edges`` does exactly that. When omitted the aggregate simply
+    recomputes (slower, but nothing is left cached): the default is
+    leak-free for ad-hoc callers."""
     from cqaduplicatefind_spark.operators.candidates import bucket_candidates
 
     extras = (group_col,) if group_col else ()
@@ -248,19 +257,29 @@ def span_candidates(
             .where(F.col("_lo") != F.col("_hi"))
             .select(*extras, "fp")
         )
+        if persisted is not None:
+            # persist the POST-aggregate rows (tiny — the het set is usually
+            # boilerplate shells linking clusters) so the corpus-wide explode
+            # + map-side-combined aggregate runs ONCE: without it the count
+            # gate runs the job and the broadcast/join branch re-executes the
+            # whole plan a second time. Persisting the exploded rows instead
+            # would cache explosion-factor more data for the same saving.
+            # Only with a caller-managed lifecycle (see docstring): an
+            # unreleasable cache would leak per call in long sessions.
+            het_keys = het_keys.persist()
         n_het = het_keys.count()
         if n_het == 0:
+            if persisted is not None:
+                het_keys.unpersist()
             return normalized.sparkSession.createDataFrame(
                 [], "id_a string, id_b string"
             )
-        # semi-join the exploded rows on the heterogeneous bucket keys; the het
-        # set is usually tiny (boilerplate shells linking clusters), so ship it
+        if persisted is not None:
+            persisted.append(het_keys)
+        # semi-join the exploded rows on the heterogeneous bucket keys; ship it
         # broadcast — with a count-based fallback to a shuffle semi-join so an
         # adversarial corpus (cross-cluster boilerplate in every bucket) cannot
-        # blow up the driver. The aggregate runs again inside the join branch;
-        # its input explodes from the persisted signatures cache and the
-        # re-aggregation is map-side-combined, far cheaper than persisting the
-        # exploded rows just to avoid it.
+        # blow up the driver. Both read the persisted aggregate, not a rerun.
         het = F.broadcast(het_keys) if n_het <= 1_000_000 else het_keys
         fps = fps.join(het, [*extras, "fp"], "semi")
         carry = ("_cl",)
@@ -337,10 +356,18 @@ def exact_span_edges(
 
     spark = normalized.sparkSession
     before = _persistent_rdd_ids(spark)
-    cands = span_candidates(
-        normalized, cfg, id_col, text_col, group_col,
-        assignments=exclude_assignments,
-    ).localCheckpoint()  # materialize once; count + verify both read it
+    het_cached: list = []
+    try:
+        cands = span_candidates(
+            normalized, cfg, id_col, text_col, group_col,
+            assignments=exclude_assignments, persisted=het_cached,
+        ).localCheckpoint()  # materialize once; count + verify both read it
+    finally:
+        # the eager checkpoint materialized the candidate set (or the job
+        # failed); either way the cached het-bucket aggregate (see
+        # span_candidates) has no readers left
+        for frame in het_cached:
+            frame.unpersist()
     ckpt_ids = _persistent_rdd_ids(spark) - before
     n = cands.count()
     if n == 0:

@@ -76,10 +76,18 @@ def canonical_per_cluster(
     Members with no score row (left join) or a NULL score still count in
     ``n_members`` and rank LAST for representative selection (+inf ordering
     key) — an unscored doc can only represent a cluster nothing else scored;
-    a cluster is never silently dropped from the deduplicated corpus."""
-    joined = clusters.select(
+    a cluster is never silently dropped from the deduplicated corpus.
+    ``n_members`` is aggregated from the CLUSTERS side alone (one row per
+    member by contract), never from the joined rows — a scores side carrying
+    several rows per id (a per-pair or multi-metric frame) fans out the join
+    but cannot inflate the member count, and the count aggregate keeps its
+    plain map-side-combined shape instead of the multi-pass plan a distinct
+    count over the join would need; the representative is then the member's
+    best-scoring row, which is the sensible reading."""
+    members = clusters.select(
         F.col(id_col).alias("_id"), F.col(cluster_col).alias("_cid")
-    ).join(
+    )
+    joined = members.join(
         scores.select(F.col(id_col).alias("_id"), F.col(score_col)), "_id", "left"
     )
     order_key = F.coalesce((-F.col(score_col)).cast("double"), F.lit(float("inf")))
@@ -87,9 +95,13 @@ def canonical_per_cluster(
         F.struct(F.col("_id"), F.col(score_col)),
         F.struct(order_key.alias("neg_score"), F.col("_id").alias("id")),
     )
+    sizes = members.groupBy("_cid").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
     return (
         joined.groupBy("_cid")
-        .agg(rep.alias("_rep"), F.count(F.lit(1)).alias("n_members"))
+        .agg(rep.alias("_rep"))
+        .join(sizes, "_cid")  # two one-row-per-cluster frames
         .select(
             F.col("_cid").alias(cluster_col),
             F.col(f"_rep._id").alias(id_col),

@@ -109,8 +109,25 @@ class IncrementalDedup:
             if d.startswith("batch=") or d.startswith("compacted=")
         ]
 
-    def _read_batches(self, root: str) -> DataFrame | None:
+    def _read_batches(
+        self, root: str, exclude_batch: int | None = None
+    ) -> DataFrame | None:
+        """Read the store; ``exclude_batch`` skips that batch's own
+        ``batch=<id>`` subdir. Used by the replay path: a crash between the
+        index append and the checkpoint commit means the replayed batch finds
+        its OWN rows in the store — they are not "index" (the overwrite is
+        about to replace them), and including them would inflate the recovery
+        row count and feed the pairing kernel stale copies of the batch's own
+        docs. The dir-name skip is only an I/O shortcut: rows a pre-crash
+        compaction already folded into a tier no longer live under the
+        ``batch=<id>`` name, so the BAND store also tags every row with its
+        source batch (``src_batch``) and the caller filters on it — that row
+        tag, not the dir name, is what makes replay exclusion exact through
+        every crash window."""
         parts = self._parts(root)
+        if exclude_batch is not None:
+            skip = f"batch={exclude_batch}"
+            parts = [p for p in parts if os.path.basename(p) != skip]
         if not parts:
             return None
         return self.spark.read.parquet(*parts)
@@ -171,7 +188,17 @@ class IncrementalDedup:
             new_bands = explode_bands(batch_df, cfg).withColumn(
                 "is_new", F.lit(True)
             ).persist()
-            idx_bands = self._read_batches(self.bands_dir)
+            idx_bands = self._read_batches(
+                self.bands_dir, exclude_batch=int(batch_id)
+            )
+            if idx_bands is not None:
+                # exact replay exclusion by row tag (see _read_batches): rows
+                # this batch appended before a crash are not "index" even when
+                # a pre-crash compaction moved them into a tier the dir-name
+                # skip cannot see
+                idx_bands = idx_bands.where(
+                    F.col("src_batch") != int(batch_id)
+                ).drop("src_batch")
             if idx_bands is None:
                 all_bands = new_bands
                 idx_touched = None
@@ -180,8 +207,16 @@ class IncrementalDedup:
             else:
                 if self._band_rows_base is None:
                     # restart over an existing store: one-time recovery count;
-                    # every later batch maintains the total arithmetically
-                    self._band_rows_base = idx_bands.count()
+                    # every later batch maintains the total arithmetically.
+                    # idx_bands already excludes the replaying batch's own
+                    # pre-crash append (src_batch row tag, see _read_batches),
+                    # so the base is the index as it stood BEFORE this batch —
+                    # and the count is LOGICAL (dedup over the key), so
+                    # physical duplicates a crash-interrupted compaction left
+                    # behind don't inflate it either.
+                    self._band_rows_base = idx_bands.dropDuplicates(
+                        ["id", "band", "bh"]
+                    ).count()
                 # bound per-batch pairing work by TOUCHED buckets: only index
                 # rows whose (band, bh) bucket also contains a new row can ever
                 # pair (every pair must involve a new doc), so the pairing
@@ -228,7 +263,9 @@ class IncrementalDedup:
                     .unionByName(cand.select(F.col("id_b").alias("url")))
                     .distinct()
                 )
-                idx_sigs = self._read_batches(self.sigs_dir)
+                idx_sigs = self._read_batches(
+                    self.sigs_dir, exclude_batch=int(batch_id)
+                )
                 store = (
                     batch_df.select(*SIG_COLS)
                     if idx_sigs is None
@@ -267,8 +304,12 @@ class IncrementalDedup:
                 }
             )
 
-            # idempotent index append: replays overwrite their own subdirs
-            new_bands.drop("is_new").write.mode("overwrite").parquet(
+            # idempotent index append: replays overwrite their own subdirs.
+            # src_batch rides every band row so replay exclusion stays exact
+            # after compaction renames the row's home dir (see _read_batches)
+            new_bands.drop("is_new").withColumn(
+                "src_batch", F.lit(int(batch_id)).cast("long")
+            ).write.mode("overwrite").parquet(
                 os.path.join(self.bands_dir, f"batch={batch_id}")
             )
             self._band_rows_by_batch[int(batch_id)] = new_bands.count()

@@ -84,9 +84,11 @@ def test_high_threshold_is_identity(spark):
 
 
 def test_freq_exchange_is_slim_and_combined(spark):
-    """The frequency pass's single Exchange must carry only the 8-byte hash
-    with a map-side partial count — never line text — and no Window: the
-    shape that survives 10^12 docs."""
+    """The frequency pass's Exchanges must carry only 8-byte hashes with
+    map-side partial aggregation — never line text — and no Window: the shape
+    that survives 10^12 docs. Two exchanges total: the dominant distinct over
+    (doc_hash, line_hash) pairs (what makes repeated captures count once) and
+    the much smaller per-line document-frequency count after it."""
     docs = spark.range(2000).select(
         F.col("id").cast("string").alias("url"),
         F.concat(F.lit("nav\nbody "), F.col("id").cast("string")).alias("text"),
@@ -94,9 +96,46 @@ def test_freq_exchange_is_slim_and_combined(spark):
     plan = (
         line_doc_freq(docs)._jdf.queryExecution().executedPlan().toString()
     )
-    assert plan.count("Exchange") == 1
+    assert plan.count("Exchange") == 2
     assert "partial_count" in plan
     assert "Window" not in plan
+
+
+def test_multicapture_rows_count_once(spark):
+    """Crawl input arrives multi-captured: many rows sharing one document id.
+    Document frequency must count the ID once, so a much-recaptured page's
+    unique content must NOT cross the boilerplate threshold (the bug this
+    pins: row-frequency counting would strip — and then drop — the page)."""
+    captures = [("dup", "unique content line\nsomething else")] * 50 + [
+        ("d1", "alpha\nshared footer"),
+        ("d2", "beta\nshared footer"),
+        ("d3", "gamma\nshared footer"),
+    ]
+    docs = spark.createDataFrame(captures, "url string, text string")
+    freq = {
+        r.line_hash: r.n_docs for r in line_doc_freq(docs).collect()
+    }
+    h = lambda s: spark.range(1).select(  # noqa: E731
+        F.xxhash64(F.lit(s))
+    ).collect()[0][0]
+    assert freq[h("unique content line")] == 1
+    assert freq[h("shared footer")] == 3
+    # threshold 3: only the real shared footer qualifies
+    boiler = boilerplate_lines(docs, min_doc_freq=3)
+    assert boiler.count() == 1
+
+
+def test_removal_persist_handle(spark):
+    """The boilerplate set is persisted so the corpus-wide frequency job runs
+    once; the caller-supplied list receives the cached frame for release."""
+    handles: list = []
+    out = remove_boilerplate_lines(
+        _docs(spark), min_doc_freq=3, persisted=handles
+    )
+    assert out.count() == 4
+    assert len(handles) == 1 and handles[0].storageLevel.useMemory
+    handles[0].unpersist()
+    assert not handles[0].storageLevel.useMemory
 
 
 def test_removal_uses_broadcast_anti_join(spark):

@@ -414,6 +414,22 @@ def test_canonical_per_cluster_unscored_members_count_and_rank_last(spark):
     }
 
 
+def test_canonical_per_cluster_duplicate_score_rows_dont_inflate(spark):
+    """A scores side with several rows per id (a per-pair or multi-metric
+    frame) fans out the join, but n_members must count DISTINCT members and
+    the representative is the member's best-scoring row."""
+    clusters = spark.createDataFrame(
+        [("a1", "K1"), ("a2", "K1")], "url string, cluster_id string"
+    )
+    scores = spark.createDataFrame(
+        [("a1", 0.4), ("a1", 0.8), ("a1", 0.6), ("a2", 0.7)],
+        "url string, quality double",
+    )
+    out = canonical_per_cluster(clusters, scores, "quality")
+    got = {r.cluster_id: (r.url, r.quality, r.n_members) for r in out.collect()}
+    assert got == {"K1": ("a1", 0.8, 2)}
+
+
 # ---------- span-candidate checkpoint lifecycle ----------
 
 def test_span_checkpoint_freed_by_release(spark):

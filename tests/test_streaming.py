@@ -211,3 +211,88 @@ def test_tiered_compaction_bounds_parts_and_survives_replay(spark, tmp_path):
     # crash-window physical duplicates left by compaction never inflate it —
     # and it is maintained arithmetically, never by an O(index) count scan
     assert dedup.batch_stats[-1]["n_index_band_rows"] == (K - 1) * 2 * cfg.bands
+
+
+def test_restart_replay_excludes_own_prior_append(spark, tmp_path):
+    """Crash window: batch N's index append happened but the streaming
+    checkpoint never committed, so a RESTARTED processor (fresh in-memory
+    state) replays batch N over a store already holding its rows. The one-time
+    recovery count must report the index as it stood BEFORE batch N — the
+    replayed batch's own pre-crash append is not "index", its overwrite
+    replaces it — and the replay must not pair the batch against its own stale
+    copy; match results are unchanged."""
+    from cqaduplicatefind_spark.functions.signatures import with_signatures
+    from cqaduplicatefind_spark.streaming.incremental import (
+        SIG_COLS,
+        IncrementalDedup,
+    )
+
+    cfg = DedupConfig(shingle_k=3, jaccard_threshold=0.7, shuffle_partitions=4)
+    dirs = (
+        str(tmp_path / "bands"), str(tmp_path / "sigs"),
+        str(tmp_path / "matches"),
+    )
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+
+    def sigs_for(i):
+        df = spark.createDataFrame(
+            [(f"fam{i}", base + f"tail{i}")], "url string, text string"
+        )
+        return with_signatures(
+            df.withColumn("norm_text", F.col("text")), cfg, "norm_text"
+        ).select(*SIG_COLS)
+
+    d1 = IncrementalDedup(spark, cfg, *dirs)
+    d1.process_batch(sigs_for(0), 0)
+    d1.process_batch(sigs_for(1), 1)      # the "crashed" batch: append landed
+    want = {(r.id_a, r.id_b) for r in d1.matches().collect()}
+    assert want == {("fam0", "fam1")}
+
+    d2 = IncrementalDedup(spark, cfg, *dirs)   # restart: fresh state
+    d2.process_batch(sigs_for(1), 1)           # checkpoint replays batch 1
+    (s,) = d2.batch_stats
+    assert s["n_index_band_rows"] == 1 * cfg.bands   # fam0 only, not fam1's own
+    assert {(r.id_a, r.id_b) for r in d2.matches().collect()} == want
+
+
+def test_restart_replay_after_compaction_keeps_stat_exact(spark, tmp_path):
+    """The nastier crash window: batch N's append was already COMPACTED into a
+    tier (its ``batch=N`` dir no longer exists) before the checkpoint failed
+    to commit. Replay exclusion must still find the batch's own rows — they
+    carry a src_batch row tag precisely because the dir-name skip cannot see
+    them inside a tier — so the recovery base, and every stat after it, counts
+    each batch's rows exactly once (no permanent double-count)."""
+    from cqaduplicatefind_spark.functions.signatures import with_signatures
+    from cqaduplicatefind_spark.streaming.incremental import (
+        SIG_COLS,
+        IncrementalDedup,
+    )
+
+    cfg = DedupConfig(shingle_k=3, jaccard_threshold=0.7, shuffle_partitions=4)
+    dirs = (
+        str(tmp_path / "bands"), str(tmp_path / "sigs"),
+        str(tmp_path / "matches"),
+    )
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+
+    def sigs_for(i):
+        df = spark.createDataFrame(
+            [(f"fam{i}", base + f"tail{i}"), (f"noise{i}", f"zz {i} " * 30)],
+            "url string, text string",
+        )
+        return with_signatures(
+            df.withColumn("norm_text", F.col("text")), cfg, "norm_text"
+        ).select(*SIG_COLS)
+
+    d1 = IncrementalDedup(spark, cfg, *dirs, compact_every=2)
+    for i in range(4):
+        d1.process_batch(sigs_for(i), i)
+    # compact_every=2 folded batch 3's parts into a tier: no batch=3 dir left
+    import os as _os
+    assert not _os.path.exists(_os.path.join(dirs[0], "batch=3"))
+
+    d2 = IncrementalDedup(spark, cfg, *dirs, compact_every=99)  # restart
+    d2.process_batch(sigs_for(3), 3)          # replay the compacted batch
+    assert d2.batch_stats[0]["n_index_band_rows"] == 3 * 2 * cfg.bands
+    d2.process_batch(sigs_for(4), 4)          # and keep going
+    assert d2.batch_stats[1]["n_index_band_rows"] == 4 * 2 * cfg.bands
