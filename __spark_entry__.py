@@ -1496,6 +1496,132 @@ def q_line_dedup_docs(spark, sf):
     )
 
 
+# ---------- intra-document repetition (operators/repetition.py) ----------
+
+@_register(
+    "repetition_features",
+    f"""
+    WITH pages AS (SELECT doc_id, {_PAGE_SQL} AS text FROM documents),
+    toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS nt
+      FROM pages
+    ),
+    linefrac AS (
+      SELECT doc_id,
+        CASE WHEN len(lf) = 0 THEN 0.0
+             ELSE 1.0 - len(list_distinct(lf)) * 1.0 / len(lf) END
+          AS dup_line_frac
+      FROM (
+        SELECT doc_id,
+          list_filter(string_split(text, chr(10)), x -> x <> '') AS lf
+        FROM pages
+      )
+    ),
+    g2 AS (
+      SELECT doc_id, nt,
+        unnest(list_transform(range(1, nt), i -> t[i] || ' ' || t[i+1])) AS g
+      FROM toks WHERE nt >= 2
+    ),
+    c2 AS (
+      SELECT doc_id, any_value(nt) AS nt, count(*) AS c
+      FROM g2 GROUP BY doc_id, g
+    ),
+    m2 AS (
+      SELECT doc_id, max(c) * 2.0 / any_value(nt) AS top_ngram_frac
+      FROM c2 GROUP BY doc_id
+    ),
+    g5 AS (
+      SELECT doc_id, nt,
+        unnest(list_transform(range(1, nt - 3), i ->
+          t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+               || ' ' || t[i+4])) AS g
+      FROM toks WHERE nt >= 5
+    ),
+    c5 AS (
+      SELECT doc_id, any_value(nt) AS nt, count(*) AS c
+      FROM g5 GROUP BY doc_id, g
+    ),
+    m5 AS (
+      SELECT doc_id,
+        least(1.0, sum(CASE WHEN c >= 2 THEN c ELSE 0 END) * 5.0
+                   / any_value(nt)) AS dup_ngram_frac
+      FROM c5 GROUP BY doc_id
+    )
+    SELECT l.doc_id,
+           round(l.dup_line_frac, 6) AS dup_line_frac,
+           round(coalesce(m2.top_ngram_frac, 0.0), 6) AS top_ngram_frac,
+           round(coalesce(m5.dup_ngram_frac, 0.0), 6) AS dup_ngram_frac
+    FROM linefrac l
+    LEFT JOIN m2 USING (doc_id)
+    LEFT JOIN m5 USING (doc_id)
+    """,
+)
+def q_repetition_features(spark, sf):
+    """Gopher/MassiveText-style intra-document repetition signals
+    (operators/repetition.py): duplicate-line fraction (pure projection),
+    most-frequent-2-gram token coverage, and duplicated-5-gram token coverage
+    (overlap-counting, capped at 1) — the filters a training pipeline
+    thresholds on before ingest. Hash-matched against a DuckDB
+    list_transform/unnest restatement over identical framed pages (the nav
+    header appears twice per page, so all three fractions are exercised with
+    non-zero values). Each gram statistic is one explode + two
+    map-side-combined aggregates whose exchange carries 8-byte gram hashes,
+    never gram text. No reference analog (SURVEY §2)."""
+    from cqaduplicatefind_spark.operators.repetition import repetition_features
+
+    docs = _framed_pages(_read(spark, sf, "documents"))
+    out = repetition_features(docs, id_col="doc_id", text_col="text")
+    return out.select(
+        "doc_id",
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("top_ngram_frac", 6).alias("top_ngram_frac"),
+        F.round("dup_ngram_frac", 6).alias("dup_ngram_frac"),
+    )
+
+
+# ---------- benchmark decontamination (operators/contamination.py) ----------
+
+@_register(
+    "contamination_flags",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    bench AS (
+      SELECT DISTINCT g FROM (
+        SELECT unnest(list_transform(range(1, len(t) - 11), i ->
+          array_to_string(t[i : i + 12], ' '))) AS g
+        FROM toks WHERE doc_id % 50 = 0 AND len(t) >= 13
+      )
+    ),
+    dg AS (
+      SELECT doc_id,
+        unnest(list_transform(range(1, len(t) - 11), i ->
+          array_to_string(t[i : i + 12], ' '))) AS g
+      FROM toks WHERE len(t) >= 13
+    )
+    SELECT doc_id, count(*) AS n_contaminated_grams
+    FROM dg JOIN bench USING (g)
+    GROUP BY doc_id
+    """,
+)
+def q_contamination_flags(spark, sf):
+    """Benchmark decontamination (operators/contamination.py, GPT-3
+    appendix-C style): flag every training document sharing a 13-gram with
+    an eval set (here: every 50th document plays the benchmark), reporting
+    per-document contaminated-gram position counts — hash-matched against a
+    DuckDB list-slice restatement. The benchmark side collapses to distinct
+    8-byte gram hashes behind a count-gated broadcast; the corpus side
+    explodes map-side and probes the broadcast, so the only exchange is the
+    final map-side-combined hit count. No reference analog (SURVEY §2)."""
+    from cqaduplicatefind_spark.operators.contamination import contaminated_docs
+
+    docs = _read(spark, sf, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    return contaminated_docs(docs, bench, n=13, id_col="doc_id")
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
