@@ -243,32 +243,53 @@ def main():
             print(f"level local[{cpus}] ready: {ready[cpus]}", file=sys.stderr)
             _freeze(p)  # stay frozen except during its own timed runs
 
+        # A-B-A sandwich (paired-design drift cancellation): the short 4-core
+        # leg runs BOTH before and after the long 1-core leg, and the 1->4
+        # ratio uses the MEAN of the two 4-leg measurements. The plain
+        # interleaved order samples the host ~10 min apart for the two legs of
+        # the ratio, so a monotone host-speed drift across the trial (burst
+        # credit draining/refilling — the observed failure mode: 1-core walls
+        # swung 426-660 s across trials of identical work) lands entirely in
+        # the ratio; bracketing makes it cancel to first order, because the
+        # mean of the two 4-legs measures the 4-core wall at the effective
+        # host speed of the 1-leg's midpoint. The spin-rate normalization
+        # stays on top as the measured (not assumed) second line of defense.
+        order = [4, 1, 4, 16] if levels == [1, 4, 16] else list(levels)
         trials: list[dict] = []
         for t in range(N_TRIALS):
             trial: dict = {"runs": {}, "spin_rate": {}}
-            for cpus in levels:
+            for cpus in order:
                 time.sleep(GAP_SEC)  # idle gap: every child is frozen here
                 _thaw(procs[cpus])
                 procs[cpus].stdin.write("RUN\n")
                 procs[cpus].stdin.flush()
                 with _SpinSampler() as sampler:
-                    trial["runs"][str(cpus)] = _await(procs[cpus], "RESULT")
-                trial["spin_rate"][str(cpus)] = sampler.mean
+                    res = _await(procs[cpus], "RESULT")
+                trial["runs"].setdefault(str(cpus), []).append(res)
+                trial["spin_rate"].setdefault(str(cpus), []).append(sampler.mean)
                 _freeze(procs[cpus])
+
+            def _walls(c):
+                return [r["wall_sec"] for r in trial["runs"][str(c)]]
+
+            def _works(c):
+                # wall x measured host speed = machine-independent work units
+                return [
+                    r["wall_sec"] * s
+                    for r, s in zip(trial["runs"][str(c)], trial["spin_rate"][str(c)])
+                ]
+
+            _mean = lambda xs: sum(xs) / len(xs)  # noqa: E731
             for lo, hi in zip(levels, levels[1:]):
                 if hi == 4 * lo:
                     trial[f"eff_{lo}_to_{hi}"] = round(
-                        trial["runs"][str(lo)]["wall_sec"]
-                        / (4 * trial["runs"][str(hi)]["wall_sec"]), 3,
+                        _mean(_walls(lo)) / (4 * _mean(_walls(hi))), 3,
                     )
-                    # host-speed-corrected: wall times rescaled by the measured
-                    # mean host speed DURING each run (wall * speed = work), so
-                    # drift between the two runs cancels by measurement
+                    # host-speed-corrected: each wall rescaled by the measured
+                    # mean host speed DURING that run, so residual drift the
+                    # sandwich cannot cancel is corrected by measurement
                     trial[f"eff_{lo}_to_{hi}_normalized"] = round(
-                        (trial["runs"][str(lo)]["wall_sec"]
-                         * trial["spin_rate"][str(lo)])
-                        / (4 * trial["runs"][str(hi)]["wall_sec"]
-                           * trial["spin_rate"][str(hi)]), 3,
+                        _mean(_works(lo)) / (4 * _mean(_works(hi))), 3,
                     )
             trials.append(trial)
             print(f"trial {t}: " + json.dumps(trial), file=sys.stderr)
@@ -286,17 +307,20 @@ def main():
     summary: dict = {}
     n_docs = ready[levels[0]]["n_docs"]
     for cpus in levels:
-        walls = sorted(t["runs"][str(cpus)]["wall_sec"] for t in trials)
+        all_walls = [
+            r["wall_sec"] for t in trials for r in t["runs"][str(cpus)]
+        ]
+        walls = sorted(all_walls)
         best, med = walls[0], walls[len(walls) // 2]
         summary[f"local{cpus}"] = {
             "cpus": cpus,
             "n_docs": n_docs,
             "wall_sec": best,
             "wall_sec_median": med,
-            "runs_sec": [t["runs"][str(cpus)]["wall_sec"] for t in trials],
+            "runs_sec": all_walls,
             "docs_per_sec": round(n_docs / best, 1),
             "docs_per_sec_median": round(n_docs / med, 1),
-            "n_nontrivial_members": trials[0]["runs"][str(cpus)][
+            "n_nontrivial_members": trials[0]["runs"][str(cpus)][0][
                 "n_nontrivial_members"
             ],
         }
@@ -317,10 +341,11 @@ def main():
             ]
             summary[f"scaling_efficiency_{lo}_to_{hi}_normalized_min"] = neffs[0]
     checksums = {
-        t["runs"][str(c)]["cluster_checksum"] for t in trials for c in levels
+        r["cluster_checksum"]
+        for t in trials for c in levels for r in t["runs"][str(c)]
     }
     summary["deterministic_clusters"] = len(checksums) == 1
-    summary["cluster_checksum"] = trials[0]["runs"][str(levels[0])][
+    summary["cluster_checksum"] = trials[0]["runs"][str(levels[0])][0][
         "cluster_checksum"
     ]
     summary["host_spin_rates"] = [t["spin_rate"] for t in trials]
@@ -330,8 +355,11 @@ def main():
         "off at bench scale, untimed warmup run), idle levels' process groups "
         "SIGSTOPped so each timed run is the only live Spark process (idle "
         "JVMs' GC threads share overlapping core pins otherwise), levels "
-        "interleaved per trial "
-        f"so each efficiency ratio is computed within one ~5-min host window; "
+        "interleaved per trial in an A-B-A sandwich (the 4-core leg runs "
+        "before AND after the 1-core leg; ratios use the mean of the two "
+        "4-leg walls, cancelling monotone host drift across the trial to "
+        "first order) "
+        f"so each efficiency ratio is computed within one host window; "
         f"{N_TRIALS} trials, {GAP_SEC}s idle gaps, median-of-trial-ratios "
         "headline with the full per-trial list + min alongside; the parent "
         "continuously samples pinned single-core spin rate on its own core "
