@@ -288,6 +288,11 @@ def run_pipeline(
                 edges.select("id_a", "id_b"),
                 assume_unconverged=True, input_distinct=True,
             ),
+            # consumed by exact_span_edges (fingerprint-row join) AND by the
+            # final clusters stage: CC's return value re-runs its
+            # roots-union + groupBy-min shuffle on EVERY action, so without a
+            # persist the span branch pays that assignment shuffle twice
+            reused=True,
         )
         overlap_edges = stage(
             "overlap_edges",

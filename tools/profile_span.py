@@ -26,7 +26,13 @@ from cqaduplicatefind_spark.session import build_session
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = build_session(cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = build_session(
+        app_name="cqadf-profile-span",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        extra={"spark.ui.enabled": "false", "spark.driver.memory": "6g"},
+    )
     cfg = DedupConfig(shingle_k=3, jaccard_threshold=0.7)
     pages = make_pages(spark, sf_dir).cache()
     n = pages.count()
