@@ -443,6 +443,107 @@ def q_minhash_md5(spark, sf):
 
 
 @_register(
+    "simhash_hamming_pairs",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    bits AS (
+      SELECT doc_id, i,
+             CASE WHEN substr(md5(tok), i + 1, 1) >= '8' THEN 1 ELSE -1 END AS sign
+      FROM toks, range(32) r(i)
+    ),
+    sims AS (
+      SELECT doc_id,
+             sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END)::BIGINT AS simhash
+      FROM (SELECT doc_id, i, sum(sign) AS s FROM bits GROUP BY doc_id, i)
+      GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           bit_count(xor(a.simhash, b.simhash))::INTEGER AS hamming
+    FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+    """,
+)
+def q_simhash_hamming_pairs(spark, sf):
+    """SimHash near-dup pairs (Charikar 2002) with a SQL-portable 32-bit
+    signature: bit i's sign is hex digit i of md5(token) (>= '8' -> +1), bit set
+    iff the TF-weighted sign-sum is strictly positive. Pair discovery is the
+    engine's pigeonhole kernel (reference analog: the all-pairs loops in
+    /root/reference/src/archive/MyReader.py:18-33 replaced by an equi-join):
+    hamming <= 4 over 5 signature pieces guarantees one equal piece, so an
+    equi-join on (piece_idx, piece) + exact Hamming verify is EXACT — recall 1
+    by construction, which is why it can face a brute-force oracle. The
+    production 64-bit path with the vectorized kernel is
+    operators/candidates.py:simhash_candidates; this query pins the semantics
+    driver-visibly."""
+    toks = (
+        _read(spark, sf, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .select("doc_id", F.md5("tok").alias("h"))
+    )
+    bits = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("i"),
+        "h",
+    ).select(
+        "doc_id",
+        "i",
+        F.when(F.substring("h", F.col("i") + 1, 1) >= "8", 1).otherwise(-1).alias(
+            "sign"
+        ),
+    )
+    sims = (
+        bits.groupBy("doc_id", "i")
+        .agg(F.sum("sign").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            # shiftleft()'s numBits must be a literal in the Python API; the SQL
+            # form accepts a column expression
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("shiftleft(1L, i)")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("simhash")
+        )
+    )
+    # pigeonhole: 5 pieces of 7 bits cover 32 bits; hamming <= 4 flips at most 4
+    # pieces, so at least one piece is equal -> equi-join instead of cross join
+    pieces = sims.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(4))).alias("j"),
+    ).select(
+        "doc_id",
+        "simhash",
+        "j",
+        F.expr("shiftrightunsigned(simhash, j * 7)")
+        .bitwiseAND(F.lit(127))
+        .alias("piece"),
+    )
+    a = pieces.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("simhash").alias("ha"), "j", "piece"
+    )
+    b = pieces.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("simhash").alias("hb"), "j", "piece"
+    )
+    return (
+        a.join(b, ["j", "piece"])
+        .where(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b", "ha", "hb")
+        .distinct()
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int").alias(
+                "hamming"
+            ),
+        )
+        .where(F.col("hamming") <= 4)
+    )
+
+
+@_register(
     "doc_fingerprint",
     """
     SELECT doc_id,
@@ -867,6 +968,49 @@ def q_ann_topk(spark, sf):
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 5)
         .select("qid", "cand", "cosine", "rank")
+    )
+
+
+@_register(
+    "embedding_neardup_pairs",
+    """
+    SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+           round(
+             list_sum(list_transform(range(len(a.embedding)),
+                      i -> a.embedding[i + 1]::DOUBLE * b.embedding[i + 1]::DOUBLE))
+             / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))),
+             6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(
+            list_sum(list_transform(range(len(a.embedding)),
+                     i -> a.embedding[i + 1]::DOUBLE * b.embedding[i + 1]::DOUBLE))
+            / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+               * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))),
+            6) >= 0.45
+    """,
+)
+def q_embedding_neardup_pairs(spark, sf):
+    """Embedding-cosine near-duplicate pairs (cosine >= 0.45), exact: the
+    oracle-facing twin of the production RP-LSH path
+    (operators/ann.py:cosine_dedup_pairs — sign-random-projection buckets +
+    exact verify, pytest-checked on planted near-dup fixtures). The exact
+    all-pairs form is deliberate here: an approximate candidate stage cannot
+    face a brute-force SQL oracle row-for-row, and at driver scale the
+    broadcast self-join is the plan Catalyst should pick (small build side).
+    Filter on the ROUNDED cosine so both engines make the identical keep/drop
+    decision at the threshold boundary."""
+    e = _read(spark, sf, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(F.broadcast(b), F.col("vec_id_a") < F.col("vec_id_b"))
+        .select(
+            "vec_id_a",
+            "vec_id_b",
+            F.round(_cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.45)
     )
 
 
