@@ -972,6 +972,57 @@ def q_ann_topk(spark, sf):
 
 
 @_register(
+    "ann_ivf_topk",
+    """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 12),
+    scored AS (
+      SELECT qid, vec_id AS cand,
+             round(
+               list_sum(list_transform(range(len(qv)),
+                        i -> qv[i + 1]::DOUBLE * embedding[i + 1]::DOUBLE))
+               / (sqrt(list_sum(list_transform(qv, x -> x::DOUBLE * x::DOUBLE)))
+                  * sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))),
+               6) AS cosine
+      FROM q JOIN embeddings ON vec_id <> qid
+    )
+    SELECT * FROM (
+      SELECT qid, cand, cosine,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cand) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q_ann_ivf_topk(spark, sf):
+    """IVF-flat top-k (operators/ann.py:ivf_topk): deterministic spherical
+    k-means coarse quantizer -> inverted lists clustered by centroid id ->
+    probe-join -> exact cosine re-rank. Probing ALL lists (nprobe = k) makes
+    the result exact by construction — every corpus vector sits in exactly one
+    probed list — so this query can hash-match the brute-force oracle while
+    still exercising the full IVF machinery (train, assign, probe, re-rank);
+    pytest pins partial-probe recall (test_text_ann.py). Scale path: the
+    centroid matrix is k*d floats (broadcast at any corpus size), the probe
+    join is an equi-join on cid touching nprobe/k of the corpus per query —
+    the shape that survives 10^12 rows where brute force cannot."""
+    from cqaduplicatefind_spark.operators.ann import (
+        ivf_candidate_scores,
+        ivf_train_centroids,
+    )
+
+    e = _read(spark, sf, "embeddings").select("vec_id", "embedding")
+    q = e.where(F.col("vec_id") < 12)
+    cent = ivf_train_centroids(e, n_centroids=8, iters=2, seed=7)
+    scored = ivf_candidate_scores(q, e, cent, nprobe=8).select(
+        "qid", "cand", F.round("cosine", 6).alias("cosine")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cand"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("qid", "cand", "cosine", "rank")
+    )
+
+
+@_register(
     "embedding_neardup_pairs",
     """
     SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,

@@ -14,6 +14,14 @@ The deterministic replacement for the reference's Doc2Vec ``most_similar`` retri
   join cost ~bucket collisions — this is what survives 10^12 rows.
 - ``cosine_dedup_pairs``: all-pairs cosine >= threshold via the same bucketing
   (embedding near-dup dedup for training pipelines).
+- ``ivf_train_centroids`` / ``ivf_candidate_scores`` / ``ivf_topk``: the IVF-flat
+  scale path (the coarse-quantizer design of Sivic & Zisserman's Video Google /
+  FAISS IndexIVFFlat): deterministic spherical k-means centroids (the model
+  artifact — k*d floats, broadcast-sized at any corpus scale), corpus assigned
+  to inverted lists clustered by centroid id, search probes the ``nprobe``
+  nearest lists and exactly re-ranks only those candidates. Probing ALL lists
+  degenerates to the exact answer — which is what lets the driver query face
+  the brute-force SQL oracle while pytest pins partial-probe recall.
 
 Hyperplanes are derived from splitmix64 streams (seeded, wall-clock-free) inside a
 pandas UDF that processes whole Arrow batches with one numpy matmul.
@@ -155,6 +163,171 @@ def rp_lsh_topk(
         cand.join(q, "qid")
         .join(c, "cand")
         .select("qid", "cand", cosine_col(F.col("qv"), F.col("cv")).alias("cosine"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cand"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def _norm_rows(mat: np.ndarray) -> np.ndarray:
+    """L2-normalize rows; zero rows stay zero (their cosine vs anything is 0)."""
+    n = np.linalg.norm(mat, axis=1, keepdims=True)
+    return np.divide(mat, n, out=np.zeros_like(mat), where=n > 0)
+
+
+def ivf_train_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 3,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic spherical k-means: (n_centroids, d) float64 row-normalized
+    centroid matrix — the IVF model artifact.
+
+    Scale posture: the per-iteration reduction is a distributed
+    ``posexplode -> groupBy(cid, pos).sum`` (map-side combined), so only
+    k*d scalars ever reach the driver — the same traffic shape as MLlib
+    KMeans' treeAggregate. Init is the k corpus vectors with the smallest
+    seeded xxhash64(id): a deterministic sample, stable across partitionings
+    (no Date/RNG state). Centroid floats are deterministic up to float-sum
+    order across partitionings; downstream exactness (full probe) does not
+    depend on them."""
+    init_rows = (
+        corpus.select(
+            F.col(vec_col).alias("v"),
+            F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)).alias("_h"),
+            F.col(id_col).alias("_id"),
+        )
+        .orderBy("_h", "_id")
+        .limit(n_centroids)
+        .collect()
+    )
+    cent = _norm_rows(np.asarray([r.v for r in init_rows], dtype=np.float64))
+    for _ in range(iters):
+        assigned = _ivf_assign(corpus, cent, id_col, vec_col)
+        parts = (
+            assigned.select("cid", F.posexplode("cv").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(
+                F.sum(F.col("val").cast("double")).alias("s"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        nxt = cent.copy()  # empty cells keep their centroid
+        sums = np.zeros_like(cent)
+        counts = np.zeros(len(cent), dtype=np.int64)
+        for r in parts:
+            sums[r.cid, r.pos] = r.s
+            counts[r.cid] = r.n
+        live = counts > 0
+        nxt[live] = _norm_rows(sums[live] / counts[live, None])
+        cent = nxt
+    return cent
+
+
+def _ivf_assign(
+    df: DataFrame, centroids: np.ndarray, id_col: str, vec_col: str
+) -> DataFrame:
+    """-> (cid, cand, cv): each vector labeled with its nearest centroid (the
+    inverted-list key). One numpy matmul per Arrow batch; centroids travel by
+    closure (k*d floats — broadcast-sized regardless of corpus size)."""
+    cent = np.ascontiguousarray(centroids)
+
+    def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            mat = _norm_rows(
+                np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+            )
+            cid = np.argmax(mat @ cent.T, axis=1).astype(np.int32)
+            yield pd.DataFrame(
+                {"cid": cid, "cand": pdf[id_col], "cv": pdf[vec_col]}
+            )
+
+    id_type = dict(df.dtypes)[id_col]
+    vec_type = dict(df.dtypes)[vec_col]
+    return df.select(id_col, vec_col).mapInPandas(
+        assign, f"cid int, cand {id_type}, cv {vec_type}"
+    )
+
+
+def ivf_candidate_scores(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(qid, cand, cosine) for every corpus vector in the query's ``nprobe``
+    nearest inverted lists (self excluded). The join is a plain equi-join on the
+    centroid id — candidate volume is ~nprobe/k of the corpus per query, and no
+    all-pairs path exists. ``nprobe >= len(centroids)`` probes every list and
+    is EXACT by construction."""
+    cent = np.ascontiguousarray(centroids)
+    nprobe = min(nprobe, len(cent))
+
+    def probe(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            mat = _norm_rows(
+                np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+            )
+            sims = mat @ cent.T  # (rows, k)
+            # nprobe nearest centroid ids per query, exploded to one row each
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "cid": top.reshape(-1).astype(np.int32),
+                    "qid": pdf[id_col].to_numpy().repeat(nprobe),
+                    "qv": pdf[vec_col].to_numpy().repeat(nprobe),
+                }
+            )
+
+    id_type = dict(queries.dtypes)[id_col]
+    vec_type = dict(queries.dtypes)[vec_col]
+    probes = queries.select(id_col, vec_col).mapInPandas(
+        probe, f"cid int, qid {id_type}, qv {vec_type}"
+    )
+    inv = _ivf_assign(corpus, cent, id_col, vec_col)
+    # each corpus vector lives in exactly ONE list, so (qid, cand) never
+    # duplicates across probed lists — no dedup shuffle needed
+    return (
+        probes.join(inv, "cid")
+        .where(F.col("qid") != F.col("cand"))
+        .select("qid", "cand", cosine_col(F.col("qv"), F.col("cv")).alias("cosine"))
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    iters: int = 3,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF-flat approximate top-k: (qid, cand, cosine, rank). Pass ``centroids``
+    to reuse a trained model (index once, search many times)."""
+    if centroids is None:
+        centroids = ivf_train_centroids(
+            corpus, n_centroids, iters, seed, id_col, vec_col
+        )
+    scored = ivf_candidate_scores(
+        queries, corpus, centroids, nprobe, id_col, vec_col
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cand"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -154,7 +154,34 @@ def span_candidates(
     dedup: bool = True,
     assignments: DataFrame | None = None,
     persisted: list | None = None,
+    assignments_count: int | None = None,
 ) -> DataFrame:
+    """Public wrapper: always returns a DataFrame (empty when discovery
+    short-circuits). ``exact_span_edges`` uses the ``None``-returning private
+    variant so the common all-pure corpus never touches the checkpoint/count
+    machinery at all."""
+    out = _span_candidates(
+        normalized, cfg, id_col, text_col, group_col, dedup, assignments,
+        persisted, assignments_count,
+    )
+    if out is None:
+        return normalized.sparkSession.createDataFrame(
+            [], "id_a string, id_b string"
+        )
+    return out
+
+
+def _span_candidates(
+    normalized: DataFrame,
+    cfg: DedupConfig,
+    id_col: str = "url",
+    text_col: str = "norm_text",
+    group_col: str | None = None,
+    dedup: bool = True,
+    assignments: DataFrame | None = None,
+    persisted: list | None = None,
+    assignments_count: int | None = None,
+) -> DataFrame | None:
     """Corpus-level discovery: candidate pairs that MAY share an exact run of
     >= cfg.min_overlap_span tokens (guaranteed superset by the winnowing bound;
     verify with overlap_spans). Hot fingerprints (boilerplate runs shared by
@@ -215,13 +242,25 @@ def span_candidates(
         # joining it onto the exploded rows instead would shuffle ~fingerprints-
         # per-doc times more rows through the id join for the same information.
         # Unassigned endpoints are singletons: cluster id defaults to the id.
-        docs = docs.join(
-            assignments.select(
-                F.col("id").alias(id_col), F.col("cluster_id").alias("_cl")
-            ),
-            id_col,
-            "left",
-        ).withColumn("_cl", F.coalesce(F.col("_cl"), F.col(id_col)))
+        asg = assignments.select(
+            F.col("id").alias(id_col), F.col("cluster_id").alias("_cl")
+        )
+        # ship the assignment table broadcast when it fits: the docs side of
+        # this join carries the span_fps arrays, and an SMJ would shuffle the
+        # whole slim-projected corpus just to look up cluster ids. Count-gated
+        # with a shuffle-join fallback, same pattern as het_keys below: at web
+        # scale the assignment table (every doc in some dup cluster) can be
+        # corpus-sized and must not land on the driver. ``assignments_count``
+        # lets the caller pass a count it already has (run_pipeline counts
+        # pre_clusters when materializing its cache) so no extra job runs here.
+        n_asg = (
+            assignments_count if assignments_count is not None else asg.count()
+        )
+        if n_asg <= 1_000_000:
+            asg = F.broadcast(asg)
+        docs = docs.join(asg, id_col, "left").withColumn(
+            "_cl", F.coalesce(F.col("_cl"), F.col(id_col))
+        )
         # the purity aggregate and the cross-cluster pair filter only ever test
         # cluster EQUALITY, so carry an 8-byte hash of the cluster id instead of
         # the id string itself: cluster ids are urls (tens of bytes), and at
@@ -271,9 +310,7 @@ def span_candidates(
         if n_het == 0:
             if persisted is not None:
                 het_keys.unpersist()
-            return normalized.sparkSession.createDataFrame(
-                [], "id_a string, id_b string"
-            )
+            return None
         if persisted is not None:
             persisted.append(het_keys)
         # semi-join the exploded rows on the heterogeneous bucket keys; ship it
@@ -325,6 +362,7 @@ def exact_span_edges(
     text_col: str = "norm_text",
     group_col: str | None = None,
     persisted: list | None = None,
+    assignments_count: int | None = None,
 ) -> DataFrame:
     """The pipeline's suffix-array-analog stage: (id_a, id_b, overlap_span) edges
     for pairs sharing an exact contiguous run >= cfg.min_overlap_span tokens.
@@ -358,24 +396,33 @@ def exact_span_edges(
     before = _persistent_rdd_ids(spark)
     het_cached: list = []
     try:
-        cands = span_candidates(
+        raw = _span_candidates(
             normalized, cfg, id_col, text_col, group_col,
             assignments=exclude_assignments, persisted=het_cached,
-        ).localCheckpoint()  # materialize once; count + verify both read it
+            assignments_count=assignments_count,
+        )
+        if raw is None:
+            # discovery short-circuited on the het-aggregate gate (no bucket
+            # spans two clusters): no pairing kernel, no checkpoint, no count —
+            # the span-free corpus pays exactly one aggregate job
+            return spark.createDataFrame(
+                [], "id_a string, id_b string, overlap_span int"
+            )
+        cands = raw.localCheckpoint()  # materialize once; count + verify read it
     finally:
         # the eager checkpoint materialized the candidate set (or the job
-        # failed); either way the cached het-bucket aggregate (see
-        # span_candidates) has no readers left
+        # failed / short-circuited); either way the cached het-bucket aggregate
+        # (see _span_candidates) has no readers left
         for frame in het_cached:
             frame.unpersist()
     ckpt_ids = _persistent_rdd_ids(spark) - before
     n = cands.count()
     if n == 0:
-        # no discovery candidates: skip verification entirely. Without this the
-        # verify joins still shuffle the whole corpus's normalized text on both
-        # pair sides just to probe an empty stream — the dominant span-stage
-        # cost on span-free corpora (most corpora, after same-cluster pruning).
-        # The empty result never reads cands again: free its blocks now.
+        # het buckets existed but every pair was same-cluster/capped away: skip
+        # verification entirely. Without this the verify joins still shuffle
+        # the whole corpus's normalized text on both pair sides just to probe
+        # an empty stream. The empty result never reads cands again: free its
+        # blocks now.
         _unpersist_rdd_ids(spark, ckpt_ids)
         return spark.createDataFrame(
             [], "id_a string, id_b string, overlap_span int"

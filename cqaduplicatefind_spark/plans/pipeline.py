@@ -22,6 +22,7 @@ Every stage's output is columnar-prunable; nothing materializes O(n^2).
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -161,13 +162,21 @@ def run_pipeline(
     warehouse: Warehouse | None = None,
     use_html: bool = False,
     group_col: str | None = None,
+    timings: dict | None = None,
 ) -> PipelineResult:
     """Run (or resume) the full dedup pipeline. With a warehouse, every stage is
     checkpointed + resumable; without, it's one lazy plan.
 
     ``group_col`` scopes candidate generation within groups (the reference's
     per-forum corpora, SURVEY U1) — one job over the union, not a driver loop;
-    omit for the combined ("full") corpus run."""
+    omit for the combined ("full") corpus run.
+
+    ``timings`` (a dict): when given, receives ``span_extra_sec`` — the wall
+    time of the span branch's work BEYOND what the span-free branch runs (the
+    het-aggregate discovery job, candidate verify, and — when spans exist —
+    the second components job; the one CC pass both branches share is
+    excluded). This is the low-variance direct measurement of the span pass's
+    cost; bench.py reports it next to the noisy full-run paired deltas."""
 
     persisted: list = []
 
@@ -294,11 +303,19 @@ def run_pipeline(
             # persist the span branch pays that assignment shuffle twice
             reused=True,
         )
+        # materialize the shared assignment cache NOW, outside the span-cost
+        # window: the span-free branch pays the same CC-output re-derivation
+        # inside attach_singletons, so this is common-path work, and the count
+        # doubles as the span stage's broadcast-vs-shuffle gate (saving it an
+        # extra job)
+        n_assign = pre_assign.count()
+        _span_t0 = time.perf_counter()
         overlap_edges = stage(
             "overlap_edges",
             lambda: exact_span_edges(
                 signatures, cfg, exclude_assignments=pre_assign,
                 group_col=group_col, persisted=persisted,
+                assignments_count=n_assign,
             ),
             reused=True,  # probed for emptiness below, then unioned/returned
         )
@@ -327,6 +344,13 @@ def run_pipeline(
                     connected_components(all_edges, input_distinct=True),
                 ),
             )
+        if timings is not None:
+            # everything since pre_clusters is span-specific: the het-aggregate
+            # discovery (incl. materializing the pre_assign cache its join
+            # reads), candidate verify, the emptiness probe, and the second CC
+            # when spans exist. The clusters stage itself is lazy in the empty
+            # case, eager (CC driver loop) otherwise — both correctly charged.
+            timings["span_extra_sec"] = time.perf_counter() - _span_t0
     else:
         clusters = stage(
             "clusters",

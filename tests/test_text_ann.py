@@ -15,6 +15,8 @@ from cqaduplicatefind_spark.functions.text_stats import (
 from cqaduplicatefind_spark.operators.ann import (
     cosine_dedup_pairs,
     cosine_topk,
+    ivf_topk,
+    ivf_train_centroids,
     rp_lsh_topk,
 )
 
@@ -106,6 +108,44 @@ def test_rp_lsh_topk_finds_planted_neighbors(spark):
     top1 = {r.qid: r.cand for r in got.where(F.col("rank") == 1).collect()}
     hits = sum(1 for i, c in top1.items() if c == 100 + i)
     assert hits >= 9  # near-identical vectors collide with overwhelming probability
+
+
+def test_ivf_full_probe_is_exact(spark):
+    # probing every inverted list degenerates to brute force: (qid, cand, rank)
+    # must match cosine_topk exactly, regardless of centroid quality (k-means
+    # only partitions the corpus; full probe reads every partition)
+    df, _ = _vec_df(spark)
+    q = df.where(F.col("vec_id") < 5)
+    exact = {(r.qid, r.cand, r.rank) for r in cosine_topk(q, df, k=3).collect()}
+    ivf = {
+        (r.qid, r.cand, r.rank)
+        for r in ivf_topk(
+            q, df, k=3, n_centroids=8, nprobe=8, iters=2, seed=1
+        ).collect()
+    }
+    assert ivf == exact
+
+
+def test_ivf_partial_probe_recall(spark):
+    # a near-identical vector lands in the same cell as its twin, and a query's
+    # nearest cell is its own: top-1 recall on the planted pairs survives
+    # probing only 2 of 8 lists
+    df, _ = _vec_df(spark)
+    q = df.where(F.col("vec_id") < 10)
+    cent = ivf_train_centroids(df, n_centroids=8, iters=3, seed=1)
+    got = ivf_topk(q, df, k=3, nprobe=2, centroids=cent)
+    top1 = {r.qid: r.cand for r in got.where(F.col("rank") == 1).collect()}
+    hits = sum(1 for i, c in top1.items() if c == 100 + i)
+    assert hits >= 9
+    # candidate volume is bounded by the probed lists, not the corpus: every
+    # query scored at most the two probed cells' worth of candidates
+    per_q = (
+        ivf_topk(q, df, k=10_000, nprobe=2, centroids=cent)
+        .groupBy("qid")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] < 200 for r in per_q)  # n=200 corpus; strict subset
 
 
 def test_cosine_dedup_pairs(spark):
