@@ -1301,6 +1301,93 @@ def q_streaming_incremental_edges(spark, sf):
     )
 
 
+@_register(
+    "streaming_first_seen_docs",
+    """
+    WITH rows AS (
+      SELECT CAST(doc_id AS VARCHAR) AS url,
+             md5(CAST(doc_id % 100 AS VARCHAR)) AS content_key,
+             doc_id % 4 AS b
+      FROM documents
+    )
+    SELECT url, content_key FROM (
+      SELECT url, content_key,
+             row_number() OVER (PARTITION BY content_key ORDER BY b, url) AS rn
+      FROM rows
+    ) WHERE rn = 1
+    """,
+)
+def q_streaming_first_seen_docs(spark, sf):
+    """Stateful-streaming exact dedup (streaming/stateful.py:first_seen_stream,
+    applyInPandasWithState): the documents table arrives as four REAL
+    micro-batches (split by doc_id % 4, one parquet file per trigger, order
+    pinned by file mtimes), and per content key only the first-arriving row
+    survives — duplicates in the same batch, a later batch, or any
+    interleaving are suppressed by per-key state in Spark's state store. The
+    synthetic key (md5 of doc_id % 100) simulates byte-identical recaptures —
+    every key recurs in EVERY batch (the sf tables' texts are unique, so
+    md5(text) would leave nothing to suppress) — and the oracle restates
+    "first batch, then min url" relationally; the match proves the stream's
+    emission is deterministic and exactly-once per key. State is one flag per
+    distinct key, hash-partitioned by the store — the shape that holds on an
+    unbounded crawl where buffering the corpus cannot."""
+    import atexit
+    import glob
+    import itertools
+    import os
+    import shutil
+    import tempfile
+
+    from cqaduplicatefind_spark.streaming.stateful import first_seen_stream
+
+    # memory-sink names and work dirs must be unique per invocation (the
+    # harness runs every query at least twice in one session)
+    if not hasattr(q_streaming_first_seen_docs, "_counter"):
+        q_streaming_first_seen_docs._counter = itertools.count()
+    counter = q_streaming_first_seen_docs._counter
+    work = os.path.join(
+        tempfile.gettempdir(), f"first_seen_oracle_{os.getpid()}_{next(counter)}"
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+
+    rows = _read(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.md5(F.pmod("doc_id", F.lit(100)).cast("string")).alias("content_key"),
+        F.pmod("doc_id", F.lit(4)).alias("b"),
+    )
+    t0 = 1_000_000_000
+    for b in range(4):
+        bdir = os.path.join(work, f"stage_{b}")
+        rows.where(F.col("b") == b).select("url", "content_key").coalesce(
+            1
+        ).write.mode("overwrite").parquet(bdir)
+        (part,) = glob.glob(os.path.join(bdir, "part-*.parquet"))
+        dst = os.path.join(src, f"batch_{b:03d}.parquet")
+        os.replace(part, dst)
+        os.utime(dst, (t0 + 10 * b, t0 + 10 * b))
+
+    stream = (
+        spark.readStream.schema("url string, content_key string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    name = f"first_seen_oracle_{os.getpid()}_{next(counter)}"
+    q = (
+        first_seen_stream(stream, "content_key", "url")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select("url", "content_key")
+
+
 # transitive closure over the brute-force edge set (recursive CTE): reach(u, m)
 # holds every m reachable from u, so min(m) per u is the component's min id —
 # shared by the cluster-assignment and canonical-doc oracles
