@@ -203,6 +203,8 @@ def ivf_train_centroids(
         .limit(n_centroids)
         .collect()
     )
+    if not init_rows:
+        raise ValueError("ivf_train_centroids: corpus is empty")
     cent = _norm_rows(np.asarray([r.v for r in init_rows], dtype=np.float64))
     for _ in range(iters):
         assigned = _ivf_assign(corpus, cent, id_col, vec_col)

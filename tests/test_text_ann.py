@@ -148,6 +148,12 @@ def test_ivf_partial_probe_recall(spark):
     assert all(r["count"] < 200 for r in per_q)  # n=200 corpus; strict subset
 
 
+def test_ivf_empty_corpus_raises(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty"):
+        ivf_train_centroids(empty, n_centroids=4)
+
+
 def test_cosine_dedup_pairs(spark):
     df, _ = _vec_df(spark)
     pairs = {(r.id_a, r.id_b) for r in cosine_dedup_pairs(df, threshold=0.95).collect()}
