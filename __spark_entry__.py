@@ -1307,7 +1307,7 @@ def q_streaming_incremental_edges(spark, sf):
     WITH rows AS (
       SELECT CAST(doc_id AS VARCHAR) AS url,
              md5(CAST(doc_id % 100 AS VARCHAR)) AS content_key,
-             doc_id % 4 AS b
+             doc_id % 3 AS b
       FROM documents
     )
     SELECT url, content_key FROM (
@@ -1319,18 +1319,22 @@ def q_streaming_incremental_edges(spark, sf):
 )
 def q_streaming_first_seen_docs(spark, sf):
     """Stateful-streaming exact dedup (streaming/stateful.py:first_seen_stream,
-    applyInPandasWithState): the documents table arrives as four REAL
-    micro-batches (split by doc_id % 4, one parquet file per trigger, order
+    applyInPandasWithState): the documents table arrives as three REAL
+    micro-batches (split by doc_id % 3, one parquet file per trigger, order
     pinned by file mtimes), and per content key only the first-arriving row
     survives — duplicates in the same batch, a later batch, or any
     interleaving are suppressed by per-key state in Spark's state store. The
-    synthetic key (md5 of doc_id % 100) simulates byte-identical recaptures —
-    every key recurs in EVERY batch (the sf tables' texts are unique, so
-    md5(text) would leave nothing to suppress) — and the oracle restates
-    "first batch, then min url" relationally; the match proves the stream's
-    emission is deterministic and exactly-once per key. State is one flag per
-    distinct key, hash-partitioned by the store — the shape that holds on an
-    unbounded crawl where buffering the corpus cannot."""
+    synthetic key (md5 of doc_id % 100) simulates byte-identical recaptures
+    (the sf tables' texts are unique, so md5(text) would leave nothing to
+    suppress); the batch modulus 3 is coprime with the key modulus 100, so a
+    key's members land in DIFFERENT batches and the oracle match genuinely
+    requires per-key state to survive across micro-batches (a modulus that
+    divides 100 would put each key entirely inside one batch and within-batch
+    dedup alone would pass). The oracle restates "first batch, then min url"
+    relationally; the match proves the stream's emission is deterministic and
+    exactly-once per key. State is one flag per distinct key, hash-partitioned
+    by the store — the shape that holds on an unbounded crawl where buffering
+    the corpus cannot."""
     import atexit
     import glob
     import itertools
@@ -1356,10 +1360,10 @@ def q_streaming_first_seen_docs(spark, sf):
     rows = _read(spark, sf, "documents").select(
         F.col("doc_id").cast("string").alias("url"),
         F.md5(F.pmod("doc_id", F.lit(100)).cast("string")).alias("content_key"),
-        F.pmod("doc_id", F.lit(4)).alias("b"),
+        F.pmod("doc_id", F.lit(3)).alias("b"),
     )
     t0 = 1_000_000_000
-    for b in range(4):
+    for b in range(3):
         bdir = os.path.join(work, f"stage_{b}")
         rows.where(F.col("b") == b).select("url", "content_key").coalesce(
             1
@@ -1384,7 +1388,12 @@ def q_streaming_first_seen_docs(spark, sf):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    # awaitTermination returns False on timeout WITHOUT raising; reading the
+    # memory sink then would return a partial mid-stream table that fails the
+    # oracle and misdiagnoses as a dedup bug. Fail loudly instead.
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("streaming_first_seen_docs: stream timed out")
     return spark.table(name).select("url", "content_key")
 
 

@@ -201,21 +201,26 @@ def bench_pipeline(spark, sf_dir: str) -> dict[str, float]:
         return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
 
     med_nospan = _median(t_nospan)
-    med_stage = _median(span_extra)
-    # min mirrors the headline min-of-4 convention (the unthrottled-machine
-    # number); median is the typical-run number. Both denominators use the
-    # matching nospan statistic.
-    min_stage = min(span_extra) if span_extra else float("nan")
     times["_span_overhead"] = {
         "paired_deltas_sec": [round(d, 2) for d in sorted(s - n for n, s in zip(t_nospan, t_span))],
         "median_delta_sec": round(med_delta, 2),
         "median_delta_pct": round(100.0 * med_delta / med_nospan, 1),
-        "span_stage_sec_runs": [round(x, 2) for x in span_extra],
-        "span_stage_median_sec": round(med_stage, 2),
-        "span_stage_median_pct": round(100.0 * med_stage / med_nospan, 1),
-        "span_stage_min_sec": round(min_stage, 2),
-        "span_stage_min_pct": round(100.0 * min_stage / min(t_nospan), 1),
     }
+    if span_extra:  # absent (not NaN — invalid strict JSON) if no run set it
+        # min mirrors the headline min-of-4 convention (the unthrottled-machine
+        # number); median is the typical-run number. Both denominators use the
+        # matching nospan statistic.
+        med_stage = _median(span_extra)
+        min_stage = min(span_extra)
+        times["_span_overhead"].update(
+            {
+                "span_stage_sec_runs": [round(x, 2) for x in span_extra],
+                "span_stage_median_sec": round(med_stage, 2),
+                "span_stage_median_pct": round(100.0 * med_stage / med_nospan, 1),
+                "span_stage_min_sec": round(min_stage, 2),
+                "span_stage_min_pct": round(100.0 * min_stage / min(t_nospan), 1),
+            }
+        )
 
     # html-extraction flavor: the byte-identity stripper (functions/html_strip.py,
     # reference DataSetUtil.strip_tags) in the timed path — pages arrive as html,

@@ -193,39 +193,48 @@ def ivf_train_centroids(
     (no Date/RNG state). Centroid floats are deterministic up to float-sum
     order across partitionings; downstream exactness (full probe) does not
     depend on them."""
-    init_rows = (
-        corpus.select(
-            F.col(vec_col).alias("v"),
-            F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)).alias("_h"),
-            F.col(id_col).alias("_id"),
-        )
-        .orderBy("_h", "_id")
-        .limit(n_centroids)
-        .collect()
-    )
-    if not init_rows:
-        raise ValueError("ivf_train_centroids: corpus is empty")
-    cent = _norm_rows(np.asarray([r.v for r in init_rows], dtype=np.float64))
-    for _ in range(iters):
-        assigned = _ivf_assign(corpus, cent, id_col, vec_col)
-        parts = (
-            assigned.select("cid", F.posexplode("cv").alias("pos", "val"))
-            .groupBy("cid", "pos")
-            .agg(
-                F.sum(F.col("val").cast("double")).alias("s"),
-                F.count("*").alias("n"),
+    # persist the slim projection for the duration of training: every Lloyd
+    # iteration (and the init scan) re-reads the corpus, and without the cache
+    # the corpus's full upstream plan (source read, joins, UDFs feeding the
+    # embedding column) would re-execute iters+1 times. MEMORY_AND_DISK by
+    # default, so an over-memory corpus spills instead of failing.
+    slim = corpus.select(id_col, vec_col).persist()
+    try:
+        init_rows = (
+            slim.select(
+                F.col(vec_col).alias("v"),
+                F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)).alias("_h"),
+                F.col(id_col).alias("_id"),
             )
+            .orderBy("_h", "_id")
+            .limit(n_centroids)
             .collect()
         )
-        nxt = cent.copy()  # empty cells keep their centroid
-        sums = np.zeros_like(cent)
-        counts = np.zeros(len(cent), dtype=np.int64)
-        for r in parts:
-            sums[r.cid, r.pos] = r.s
-            counts[r.cid] = r.n
-        live = counts > 0
-        nxt[live] = _norm_rows(sums[live] / counts[live, None])
-        cent = nxt
+        if not init_rows:
+            raise ValueError("ivf_train_centroids: corpus is empty")
+        cent = _norm_rows(np.asarray([r.v for r in init_rows], dtype=np.float64))
+        for _ in range(iters):
+            assigned = _ivf_assign(slim, cent, id_col, vec_col)
+            parts = (
+                assigned.select("cid", F.posexplode("cv").alias("pos", "val"))
+                .groupBy("cid", "pos")
+                .agg(
+                    F.sum(F.col("val").cast("double")).alias("s"),
+                    F.count("*").alias("n"),
+                )
+                .collect()
+            )
+            nxt = cent.copy()  # empty cells keep their centroid
+            sums = np.zeros_like(cent)
+            counts = np.zeros(len(cent), dtype=np.int64)
+            for r in parts:
+                sums[r.cid, r.pos] = r.s
+                counts[r.cid] = r.n
+            live = counts > 0
+            nxt[live] = _norm_rows(sums[live] / counts[live, None])
+            cent = nxt
+    finally:
+        slim.unpersist()
     return cent
 
 

@@ -242,34 +242,41 @@ def _span_candidates(
         # joining it onto the exploded rows instead would shuffle ~fingerprints-
         # per-doc times more rows through the id join for the same information.
         # Unassigned endpoints are singletons: cluster id defaults to the id.
+        # the purity aggregate and the cross-cluster pair filter only ever test
+        # cluster EQUALITY, so carry an 8-byte hash of the cluster id instead
+        # of the id string itself: cluster ids are urls (tens of bytes), and
+        # at ~10^2 fingerprints per doc they dominate the aggregate's
+        # exchange — hashing cuts that shuffle ~3x. Hashing EXECUTOR-SIDE
+        # before the broadcast below also halves the broadcast row width
+        # (join key string + 8-byte hash, not two strings). Cost: two distinct
+        # clusters colliding in xxhash64 would wrongly prune their
+        # buckets/pairs — a ~2^-64 per-pair recall risk, the same class (and
+        # far below) the rolling-hash span verify already documents.
         asg = assignments.select(
-            F.col("id").alias(id_col), F.col("cluster_id").alias("_cl")
+            F.col("id").alias(id_col), F.xxhash64("cluster_id").alias("_cl")
         )
         # ship the assignment table broadcast when it fits: the docs side of
         # this join carries the span_fps arrays, and an SMJ would shuffle the
         # whole slim-projected corpus just to look up cluster ids. Count-gated
         # with a shuffle-join fallback, same pattern as het_keys below: at web
         # scale the assignment table (every doc in some dup cluster) can be
-        # corpus-sized and must not land on the driver. ``assignments_count``
-        # lets the caller pass a count it already has (run_pipeline counts
-        # pre_clusters when materializing its cache) so no extra job runs here.
+        # corpus-sized and must not land on the driver. 1M rows of
+        # (url, 8-byte hash) is ~tens of MB — within broadcast budget; the
+        # het_keys gate below shares the threshold at a strictly narrower row.
+        # ``assignments_count`` lets the caller pass a count it already has
+        # (run_pipeline counts pre_clusters when materializing its cache) so
+        # no extra job runs here.
         n_asg = (
             assignments_count if assignments_count is not None else asg.count()
         )
         if n_asg <= 1_000_000:
             asg = F.broadcast(asg)
+        # unassigned endpoints are singletons: their cluster is themselves, so
+        # the null fill hashes the doc's own id — identical to what the
+        # pre-hash produces for a cluster id equal to the id
         docs = docs.join(asg, id_col, "left").withColumn(
-            "_cl", F.coalesce(F.col("_cl"), F.col(id_col))
+            "_cl", F.coalesce(F.col("_cl"), F.xxhash64(F.col(id_col)))
         )
-        # the purity aggregate and the cross-cluster pair filter only ever test
-        # cluster EQUALITY, so carry an 8-byte hash of the cluster id instead of
-        # the id string itself: cluster ids are urls (tens of bytes), and at
-        # ~10^2 fingerprints per doc they dominate the aggregate's exchange —
-        # hashing cuts that shuffle ~3x. Cost: two distinct clusters colliding
-        # in xxhash64 would wrongly prune their buckets/pairs — a ~2^-64
-        # per-pair recall risk, the same class (and far below) the rolling-hash
-        # span verify already documents.
-        docs = docs.withColumn("_cl", F.xxhash64("_cl"))
     fps = docs.select(
         F.col(id_col).alias("id"),
         *extras,

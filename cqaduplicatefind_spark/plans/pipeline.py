@@ -345,11 +345,14 @@ def run_pipeline(
                 ),
             )
         if timings is not None:
-            # everything since pre_clusters is span-specific: the het-aggregate
-            # discovery (incl. materializing the pre_assign cache its join
-            # reads), candidate verify, the emptiness probe, and the second CC
-            # when spans exist. The clusters stage itself is lazy in the empty
-            # case, eager (CC driver loop) otherwise — both correctly charged.
+            # everything since _span_t0 is span-specific: the het-aggregate
+            # discovery job, candidate verify, the emptiness probe, and the
+            # second CC when spans exist. The pre_assign cache materialization
+            # (the n_assign count above) is NOT in the window — the span-free
+            # branch pays the same CC-output re-derivation inside
+            # attach_singletons, so it is common-path work. The clusters stage
+            # itself is lazy in the empty case, eager (CC driver loop)
+            # otherwise — both correctly charged.
             timings["span_extra_sec"] = time.perf_counter() - _span_t0
     else:
         clusters = stage(

@@ -36,7 +36,7 @@ def first_seen_stream(
     stream_df: DataFrame,
     key_col: str = "content_key",
     order_col: str = "url",
-    out_cols: tuple[str, ...] = ("url", "content_key"),
+    out_cols: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """streaming df -> rows whose ``key_col`` is seen for the FIRST time across
     the stream. Deterministic within a micro-batch: among a batch's rows for a
@@ -51,6 +51,8 @@ def first_seen_stream(
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    if out_cols is None:
+        out_cols = (order_col, key_col)
     fields = dict(stream_df.dtypes)
     out_schema = ", ".join(f"{c} {fields[c]}" for c in out_cols)
     cols = list(out_cols)

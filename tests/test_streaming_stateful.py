@@ -44,7 +44,9 @@ def _run_stream(spark, src, schema_ddl, transform, name_prefix, ckpt):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    # returns False on timeout without raising — fail instead of reading a
+    # partial memory-sink table
+    assert q.awaitTermination(300), "stream timed out"
     return spark.table(name)
 
 

@@ -138,14 +138,25 @@ def test_ivf_partial_probe_recall(spark):
     hits = sum(1 for i, c in top1.items() if c == 100 + i)
     assert hits >= 9
     # candidate volume is bounded by the probed lists, not the corpus: every
-    # query scored at most the two probed cells' worth of candidates
+    # query scores at most the TWO LARGEST inverted lists' worth of rows, and
+    # that bound is a real restriction (well under the 199 a degenerate
+    # quantizer scoring the whole corpus minus self would produce)
+    from cqaduplicatefind_spark.operators.ann import _ivf_assign
+
+    cell_sizes = sorted(
+        (r["count"] for r in _ivf_assign(df, cent, "vec_id", "embedding")
+         .groupBy("cid").count().collect()),
+        reverse=True,
+    )
+    two_largest = sum(cell_sizes[:2])
+    assert two_largest < 199  # the quantizer actually partitioned the corpus
     per_q = (
         ivf_topk(q, df, k=10_000, nprobe=2, centroids=cent)
         .groupBy("qid")
         .count()
         .collect()
     )
-    assert all(r["count"] < 200 for r in per_q)  # n=200 corpus; strict subset
+    assert all(r["count"] <= two_largest for r in per_q)
 
 
 def test_ivf_empty_corpus_raises(spark):
