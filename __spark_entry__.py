@@ -1913,6 +1913,291 @@ def q_contamination_flags(spark, sf):
     return contaminated_docs(docs, bench, n=13, id_col="doc_id")
 
 
+# ---------- the whole engine, end to end: crawl captures -> training corpus ----------
+#
+# The composite a real user runs at 100 TB: messy multi-capture crawl rows go
+# through EVERY dedup tier in order — URL canonicalization + latest-capture
+# collapse, PII redaction, cross-document line-boilerplate removal, MinHash-LSH
+# near-dup clustering, canonical-representative selection — and the final
+# deduplicated corpus is hash-matched against a DuckDB restatement of the
+# entire chain. Each tier already has its own hash-matched row; this row pins
+# the COMPOSITION (tier ordering, column handoffs, id propagation).
+#
+# Both engines synthesize the same crawl mess from doc_id: every 3 consecutive
+# doc_ids are captures of ONE logical page (same canonical URL; raw URLs differ
+# in case, trailing slash, tracking params, fragments — and some captures carry
+# explicit ports), and every capture's body drags reader emails/IPs/phone
+# numbers that only redaction makes byte-identical across captures.
+
+_CRAWL_URL_SQL = """
+      (CASE WHEN (doc_id // 3) % 2 = 0 THEN 'HTTPS' ELSE 'http' END)
+      || '://WWW.News-' || CAST((doc_id // 3) % 7 AS VARCHAR) || '.Example.COM'
+      || (CASE WHEN (doc_id // 3) % 13 = 0 THEN ':8080'
+               WHEN (doc_id // 3) % 11 = 0 THEN
+                 (CASE WHEN (doc_id // 3) % 2 = 0 THEN ':443' ELSE ':80' END)
+               ELSE '' END)
+      || '/article/' || CAST(doc_id // 3 AS VARCHAR)
+      || (CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END)
+      || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&b=2&a=1'
+               WHEN doc_id % 3 = 1 THEN '?b=2&a=1&gclid=XYZ'
+               ELSE '?a=1&b=2' END)
+      || (CASE WHEN doc_id % 5 = 0 THEN '#s2' ELSE '' END)
+"""
+
+_CRAWL_BODY_SQL = """
+      text || ' contact reader' || CAST(doc_id % 500 AS VARCHAR)
+      || '@mail.example.net'
+      || ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.7.'
+      || CAST(doc_id % 250 AS VARCHAR)
+      || (CASE WHEN doc_id % 2 = 0
+               THEN ' call 555-0' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+               ELSE ' call 415-555-0199' END)
+"""
+
+
+def _crawl_captures(docs: DataFrame) -> DataFrame:
+    """(doc_id, url, warc_ts, body) with the same deterministic mess as
+    ``_CRAWL_URL_SQL`` / ``_CRAWL_BODY_SQL``."""
+    d = F.col("doc_id")
+    base = F.floor(d / 3)
+    s = lambda m: (d % m).cast("string")  # noqa: E731
+    b = lambda m: (base % m).cast("string")  # noqa: E731
+    url = F.concat(
+        F.when(base % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("http")),
+        F.lit("://WWW.News-"), b(7), F.lit(".Example.COM"),
+        F.when(base % 13 == 0, F.lit(":8080"))
+        .when(
+            base % 11 == 0,
+            F.when(base % 2 == 0, F.lit(":443")).otherwise(F.lit(":80")),
+        )
+        .otherwise(F.lit("")),
+        F.lit("/article/"), base.cast("string"),
+        F.when(d % 2 == 1, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 3 == 0, F.lit("?utm_source=feed&b=2&a=1"))
+        .when(d % 3 == 1, F.lit("?b=2&a=1&gclid=XYZ"))
+        .otherwise(F.lit("?a=1&b=2")),
+        F.when(d % 5 == 0, F.lit("#s2")).otherwise(F.lit("")),
+    )
+    body = F.concat(
+        F.col("text"),
+        F.lit(" contact reader"), s(500), F.lit("@mail.example.net"),
+        F.lit(" from 10."), s(200), F.lit(".7."), s(250),
+        F.when(
+            d % 2 == 0,
+            F.concat(F.lit(" call 555-0"), F.lpad(s(1000), 3, "0")),
+        ).otherwise(F.lit(" call 415-555-0199")),
+    )
+    return docs.select(
+        "doc_id", url.alias("url"), d.alias("warc_ts"), body.alias("body")
+    )
+
+
+@_register(
+    "crawl_corpus_end_to_end",
+    f"""
+    WITH RECURSIVE
+    crawl AS (
+      SELECT doc_id, {_CRAWL_URL_SQL} AS url, {_CRAWL_BODY_SQL} AS body
+      FROM documents
+    ),
+    parts AS (
+      SELECT doc_id, url, body,
+        lower(coalesce(regexp_extract(url, '^([^:/?#]+)://', 1), '')) AS scheme,
+        regexp_replace(regexp_replace(
+          lower(coalesce(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1), '')),
+          '^www\\.', ''), ':[0-9]*$', '') AS host,
+        coalesce(regexp_extract(
+          coalesce(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1), ''),
+          ':([0-9]+)$', 1), '') AS port,
+        regexp_replace(
+          coalesce(regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1), ''),
+          '/+$', '') AS path,
+        coalesce(array_to_string(list_sort(list_filter(
+          string_split(coalesce(regexp_extract(url, '^[^#?]*\\?([^#]*)', 1), ''), '&'),
+          x -> x <> '' AND NOT starts_with(string_split(x, '=')[1], 'utm_')
+               AND string_split(x, '=')[1] NOT IN
+                 ('gclid','fbclid','msclkid','yclid','igshid','mc_cid','mc_eid')
+        )), '&'), '') AS q
+      FROM crawl
+    ),
+    canon AS (
+      SELECT doc_id, body, host,
+        scheme || '://' || host
+        || (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                      OR (scheme = 'https' AND port = '443')
+                 THEN '' ELSE ':' || port END)
+        || path
+        || (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS canonical_url
+      FROM parts
+    ),
+    winners AS (
+      SELECT canonical_url, min(host) AS host,
+             arg_max(body, doc_id) AS body
+      FROM canon GROUP BY canonical_url
+    ),
+    red AS (
+      SELECT canonical_url, host,
+        regexp_replace(regexp_replace(regexp_replace(body,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+          '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g'),
+          '\\b\\d{{3}}[- ](\\d{{3}}[- ])?\\d{{4}}\\b', '<PHONE>', 'g') AS clean
+      FROM winners
+    ),
+    pages AS (
+      SELECT canonical_url,
+        'home | top stories | contact' || chr(10) || '' || chr(10) || clean
+        || chr(10) || 'home | top stories | contact'
+        || chr(10) || 'copyright ' || host || ' newsroom'
+        || chr(10) || 'all rights reserved' AS page
+      FROM red
+    ),
+    ls AS (SELECT canonical_url, string_split(page, chr(10)) AS l FROM pages),
+    flines AS (
+      SELECT canonical_url, l, unnest(range(1, len(l) + 1)) AS pos FROM ls
+    ),
+    flat AS (SELECT canonical_url, pos, l[pos] AS line FROM flines),
+    freq AS (
+      SELECT line, count(DISTINCT canonical_url) AS n_docs
+      FROM flat WHERE line <> '' GROUP BY line
+    ),
+    boiler AS (SELECT line FROM freq WHERE n_docs >= 20),
+    kept AS (
+      SELECT f.canonical_url, f.pos, f.line FROM flat f
+      WHERE NOT EXISTS (SELECT 1 FROM boiler b WHERE b.line = f.line)
+    ),
+    cleaned AS (
+      SELECT canonical_url, string_agg(line, chr(10) ORDER BY pos) AS text
+      FROM kept GROUP BY canonical_url
+    ),
+    toks AS (
+      SELECT canonical_url AS doc_id, string_split(text, ' ') AS t FROM cleaned
+    ),
+    s AS (
+      SELECT doc_id, t, unnest(range(len(t) - 2)) AS i
+      FROM toks WHERE len(t) >= 3
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(list_slice(t, i + 1, i + 3), ' ') AS g
+      FROM s
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT id_a, id_b
+      FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+      WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.7
+    ),
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM edges
+      UNION ALL
+      SELECT id_b AS a, id_a AS b FROM edges
+    ),
+    reach(u, m) AS (
+      SELECT doc_id, doc_id FROM toks
+      UNION
+      SELECT r.u, s2.b FROM reach r JOIN sym s2 ON s2.a = r.m
+    ),
+    assign AS (SELECT u AS url, min(m) AS cluster_id FROM reach GROUP BY u),
+    q AS (
+      SELECT canonical_url AS url,
+             round(len(string_split(text, ' ')) * 1.0
+                   / greatest(length(text), 1), 6) AS quality
+      FROM cleaned
+    )
+    SELECT cluster_id, url, quality, n_members
+    FROM (
+      SELECT a.cluster_id, a.url, q.quality,
+             count(*) OVER (PARTITION BY a.cluster_id) AS n_members,
+             row_number() OVER (
+               PARTITION BY a.cluster_id
+               ORDER BY q.quality DESC NULLS LAST, a.url ASC
+             ) AS rn
+      FROM assign a LEFT JOIN q USING (url)
+    ) WHERE rn = 1
+    """,
+)
+def q_crawl_corpus_end_to_end(spark, sf):
+    """THE WHOLE ENGINE in one query — synthesized multi-capture crawl rows
+    (url, warc_ts, body) flow through every dedup tier in pipeline order and
+    the final deduplicated training corpus is hash-matched against a DuckDB
+    restatement of the entire chain:
+
+    1. URL tier (functions/urls.py): canonicalize WARC-Target-URIs, collapse
+       the 3 captures of each logical page to the newest (one map-side-combined
+       aggregation carrying the winner's payload via max_by — no re-join);
+    2. PII tier (functions/pii.py): redact emails/IPs/phones — what makes
+       contact-bearing captures byte-comparable (shuffle-free projection);
+    3. line tier (operators/linededup.py): strip nav/footer/per-host copyright
+       lines recurring in >= 20 distinct pages (8-byte-hash frequency pass,
+       broadcast anti-join, one reassembly shuffle);
+    4. content tier (plans/pipeline.py): MinHash-LSH candidates -> exact
+       verify -> star/rescue rounds -> distributed connected components;
+    5. emit (operators/topk.py canonical_per_cluster): one representative per
+       cluster by quality (map-side-combinable min_by, never a window).
+
+    Every tier has its own hash-matched row; this row pins their COMPOSITION
+    (ordering, column handoffs, id propagation at tier boundaries). Covers the
+    reference's full ingest->normalize->retrieve->cluster lifecycle (SURVEY
+    §3.2) recast for the BASELINE.json web-crawl input shape."""
+    from cqaduplicatefind_spark.functions.pii import with_pii_redacted
+    from cqaduplicatefind_spark.functions.urls import (
+        latest_capture_per_url,
+        url_host,
+    )
+    from cqaduplicatefind_spark.operators.linededup import remove_boilerplate_lines
+    from cqaduplicatefind_spark.operators.topk import canonical_per_cluster
+    from cqaduplicatefind_spark.plans.pipeline import run_pipeline
+
+    docs = _read(spark, sf, "documents")
+    captures = _crawl_captures(docs)
+    # tie_col carries the winning capture's payload through the aggregation:
+    # warc_ts (= doc_id) is distinct within a canonical-url group, so max_by
+    # picks the newest capture's body — no second join to fetch the text
+    winners = latest_capture_per_url(captures, ts_col="warc_ts", tie_col="body")
+    red = with_pii_redacted(
+        winners.select("canonical_url", F.col("latest_body").alias("body")),
+        text_col="body",
+        out_col="clean",
+    )
+    framed = red.select(
+        "canonical_url",
+        F.concat_ws(
+            "\n",
+            F.lit("home | top stories | contact"),
+            F.lit(""),
+            F.col("clean"),
+            F.lit("home | top stories | contact"),
+            F.concat(
+                F.lit("copyright "),
+                url_host(F.col("canonical_url")),
+                F.lit(" newsroom"),
+            ),
+            F.lit("all rights reserved"),
+        ).alias("page"),
+    )
+    cleaned = remove_boilerplate_lines(
+        framed, min_doc_freq=20, id_col="canonical_url", text_col="page"
+    )
+    pages = cleaned.select(
+        F.col("canonical_url").alias("url"), F.col("page").alias("text")
+    )
+    result = run_pipeline(spark, pages, _edge_oracle_config())
+    quality = pages.select(
+        "url",
+        F.round(
+            F.size(F.split("text", " ")) / F.greatest(F.length("text"), F.lit(1)),
+            6,
+        ).alias("quality"),
+    )
+    return canonical_per_cluster(result.clusters, quality, "quality")
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
