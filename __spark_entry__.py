@@ -858,6 +858,59 @@ def q_exact_span_pairs(spark, sf):
 
 
 @_register(
+    "exact_substring_removal",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    s AS (
+      SELECT doc_id, t, unnest(range(len(t) - 14)) AS i
+      FROM toks WHERE len(t) >= 15
+    ),
+    grams AS (
+      SELECT doc_id, i, array_to_string(list_slice(t, i + 1, i + 15), ' ') AS g
+      FROM s
+    ),
+    owner AS (
+      SELECT g, min(doc_id) AS owner_id
+      FROM (SELECT DISTINCT doc_id, g FROM grams)
+      GROUP BY g HAVING count(*) >= 2
+    ),
+    covered AS (
+      SELECT DISTINCT gr.doc_id, gr.i + u.o AS j
+      FROM grams gr
+      JOIN owner ow ON gr.g = ow.g AND ow.owner_id < gr.doc_id
+      CROSS JOIN (SELECT unnest(range(15)) AS o) u
+    ),
+    pertok AS (
+      SELECT doc_id, unnest(t) AS tok, unnest(range(len(t))) AS j FROM toks
+    ),
+    kept AS (
+      SELECT p.doc_id, p.tok, p.j
+      FROM pertok p LEFT JOIN covered c ON p.doc_id = c.doc_id AND p.j = c.j
+      WHERE c.doc_id IS NULL
+    )
+    SELECT t.doc_id,
+           coalesce(string_agg(k.tok, ' ' ORDER BY k.j), '') AS clean_text,
+           CAST(len(t.t) - count(k.j) AS INTEGER) AS n_removed
+    FROM toks t LEFT JOIN kept k USING (doc_id)
+    GROUP BY t.doc_id, len(t.t)
+    """,
+)
+def q_exact_substring_removal(spark, sf):
+    """Cleaned corpus after exact duplicated-substring removal (Lee et al. 2022
+    analog): every 15-token run appearing in >= 2 documents is removed from all
+    but the smallest-doc_id owner; owners keep byte-identical text. Oracle:
+    brute-force 15-gram ownership + coverage union in DuckDB."""
+    from cqaduplicatefind_spark.operators.span_removal import remove_duplicate_spans
+
+    docs = _read(spark, sf, "documents").select("doc_id", "text")
+    return remove_duplicate_spans(
+        docs, min_span=15, id_col="doc_id", text_col="text"
+    )
+
+
+@_register(
     "latest_event_per_user",
     """
     SELECT user_id, event_id, ts, event_type
@@ -1063,6 +1116,49 @@ def q_embedding_neardup_pairs(spark, sf):
         )
         .where(F.col("cosine") >= 0.45)
     )
+
+
+@_register(
+    "semantic_dedup_kept",
+    """
+    WITH dominated AS (
+      SELECT DISTINCT b.vec_id
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE round(
+              list_sum(list_transform(range(len(a.embedding)),
+                       i -> a.embedding[i + 1]::DOUBLE * b.embedding[i + 1]::DOUBLE))
+              / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                 * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))),
+              6) >= 0.45
+    )
+    SELECT v.vec_id
+    FROM embeddings v LEFT JOIN dominated d USING (vec_id)
+    WHERE d.vec_id IS NULL
+    """,
+)
+def q_semantic_dedup_kept(spark, sf):
+    """SemDeDup-style kept set (Abbas et al. 2023): vectors surviving the
+    smaller-id dominance rule at cosine >= 0.45 — the corpus-emit twin of
+    ``embedding_neardup_pairs``. Exact pair frame (rounded cosine so both
+    engines make identical boundary decisions) feeds the production operator
+    via its bring-your-own-pairs seam; the RP-LSH and IVF-representative scale
+    paths are pytest-checked on planted duplicate fixtures
+    (tests/test_semantic_dedup.py)."""
+    from cqaduplicatefind_spark.operators.ann import semantic_dedup_kept
+
+    e = _read(spark, sf, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(_cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.45)
+    )
+    return semantic_dedup_kept(e, pairs=pairs).select("vec_id")
 
 
 @_register("qa_dumps_end_to_end", None)

@@ -14,6 +14,8 @@ The deterministic replacement for the reference's Doc2Vec ``most_similar`` retri
   join cost ~bucket collisions — this is what survives 10^12 rows.
 - ``cosine_dedup_pairs``: all-pairs cosine >= threshold via the same bucketing
   (embedding near-dup dedup for training pipelines).
+- ``semantic_dedup_kept``: SemDeDup-style kept-corpus emit under a smaller-id
+  dominance rule, with exact / RP-LSH / IVF-representative candidate paths.
 - ``ivf_train_centroids`` / ``ivf_candidate_scores`` / ``ivf_topk``: the IVF-flat
   scale path (the coarse-quantizer design of Sivic & Zisserman's Video Google /
   FAISS IndexIVFFlat): deterministic spherical k-means centroids (the model
@@ -373,3 +375,87 @@ def cosine_dedup_pairs(
         .select("id_a", "id_b", cosine_col(F.col("va"), F.col("vb")).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+def semantic_dedup_kept(
+    df: DataFrame,
+    threshold: float = 0.95,
+    method: str = "rp",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pairs: DataFrame | None = None,
+    n_centroids: int = 16,
+    iters: int = 3,
+    seed: int = 42,
+    bits: int = 10,
+    n_tables: int = 6,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540): the
+    KEPT corpus under the dominance rule *drop a vector iff some smaller-id
+    vector sits at cosine >= threshold* — deterministic, order-free, and
+    restatable in SQL (``NOT EXISTS`` a dominating neighbor), so the exact form
+    can face a relational oracle row-for-row. Returns ``df``'s surviving rows
+    with all original columns.
+
+    Candidate generation (what bounds the pair volume at 10^12 rows):
+
+    - ``method="exact"``: all-pairs broadcast self-join — oracle twin and small
+      corpora only (the only all-pairs path, deliberately broadcast-bounded).
+    - ``method="rp"`` (default): RP-LSH bucket candidates + exact verify
+      (``cosine_dedup_pairs``) — finds cross-corpus near-dups wherever they
+      fall; recall follows the hyperplane collision bound.
+    - ``method="ivf"``: the published SemDeDup shape — spherical k-means
+      partitions the corpus, and each vector is compared against its inverted
+      list's min-id REPRESENTATIVE only: O(m) cosines per cluster (never
+      pairwise), skew-proof by construction; duplicates split across cluster
+      boundaries are out of scope by design (the paper's accepted tradeoff,
+      mitigated by raising ``n_centroids`` more slowly than corpus size).
+
+    Pass ``pairs`` (schema ``id_a < id_b``, already thresholded) to bring your
+    own candidate frame — e.g. rounded cosines for cross-engine boundary
+    determinism — and skip generation entirely.
+    """
+    if pairs is None:
+        if method == "rp":
+            pairs = cosine_dedup_pairs(
+                df, threshold, bits, n_tables, seed, id_col, vec_col
+            )
+        elif method == "exact":
+            a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+            b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+            pairs = (
+                a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+                .select(
+                    "id_a",
+                    "id_b",
+                    cosine_col(F.col("_va"), F.col("_vb")).alias("cosine"),
+                )
+                .where(F.col("cosine") >= threshold)
+            )
+        elif method == "ivf":
+            if centroids is None:
+                centroids = ivf_train_centroids(
+                    df, n_centroids, iters, seed, id_col, vec_col
+                )
+            inv = _ivf_assign(df, centroids, id_col, vec_col)
+            reps = inv.groupBy("cid").agg(F.min("cand").alias("id_a"))
+            rep_vecs = reps.join(
+                inv.select("cid", F.col("cand").alias("id_a"), F.col("cv").alias("_va")),
+                ["cid", "id_a"],
+            )
+            # one row per (member, its cluster representative): O(m) per list
+            pairs = (
+                inv.join(rep_vecs, "cid")
+                .where(F.col("cand") > F.col("id_a"))
+                .select(
+                    "id_a",
+                    F.col("cand").alias("id_b"),
+                    cosine_col(F.col("_va"), F.col("cv")).alias("cosine"),
+                )
+                .where(F.col("cosine") >= threshold)
+            )
+        else:
+            raise ValueError(f"semantic_dedup_kept: unknown method {method!r}")
+    dropped = pairs.select(F.col("id_b").alias(id_col))
+    return df.join(dropped, id_col, "left_anti")

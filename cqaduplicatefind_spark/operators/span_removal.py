@@ -1,0 +1,152 @@
+"""Exact duplicated-substring REMOVAL — the cleaned-corpus output of the
+suffix-array tier (Lee et al. 2022, "Deduplicating Training Data Makes Language
+Models Better": remove every substring of >= N tokens that repeats across the
+corpus, keeping one occurrence).
+
+The span-discovery pass (``operators/overlap.py``) links documents that share a
+long exact run; this module emits the corpus AFTER removal, under a
+deterministic ownership rule that both Spark and a relational oracle can state
+identically:
+
+- an ``L``-token gram is *shared* when it occurs in >= 2 distinct documents;
+- its *owner* is the smallest document id containing it;
+- in every non-owner document, all token positions covered by a shared gram
+  are removed; the owner keeps its text untouched (so exactly one copy of
+  every shared run survives, and re-running removal is a no-op on the owner).
+
+Within-owner repeats are intentionally kept: removal never rewrites the owner,
+which makes the operator idempotent per document and the keep-one guarantee
+auditable (the kept copy is bit-identical to the input — the north rule's
+byte-identical-text invariant applies to the surviving occurrence).
+
+Scale shape (100 TB): the gram frame is one row per token position — the honest
+cost of EXACT substring dedup (the winnow-sampled discovery pass exists
+precisely because this frame is ~10x a fingerprint frame; callers that can
+tolerate discovery-first gating should restrict ``docs`` to the union of
+span-candidate documents from ``exact_span_edges`` before calling). From there:
+one map-side-combined groupBy(gh) for owners (min/max in one pass, shared iff
+they differ — no countDistinct), one equi-join grams⋈owners (AQE broadcasts the
+owner side when small: shared grams are a thin slice of all grams), one
+collect_set per AFFECTED document, and an Arrow-batched rebuild over affected
+documents only — untouched documents bypass Python entirely via an anti-join
+pass-through. No window functions, no driver collect.
+
+Gram equality is by 64-bit polynomial rolling hash over seeded blake2b token
+hashes (``functions/hashing.py``); a cross-document collision would need two of
+the corpus's distinct grams to collide in 2^64 space (~1e-10 at 1e4 grams —
+negligible, and the same tradeoff the discovery pass already makes).
+
+Reference analog: kkrasika/CQADuplicateFind has no substring removal (its
+near-dup handling is per-pair scoring, src/DuplicateRetriever.py); this is part
+of the training-data-pipeline surface the brief adds on top of parity.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql.types import ArrayType, LongType
+
+from cqaduplicatefind_spark.functions.hashing import RollingHash, TokenHasher
+
+
+def make_gram_hash_udf(gram: int, hash_seed: int):
+    """Arrow-batched: text -> array<long> of rolling L-gram hashes, one per start
+    position (empty when the document is shorter than ``gram`` tokens). Narrow
+    map — the explode and every join stay JVM-side."""
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def gram_hashes(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        hasher = TokenHasher(hash_seed)
+        for batch in it:
+            out = []
+            for t in batch:
+                toks = t.split(" ") if t else []
+                out.append(
+                    RollingHash(hasher.hash_tokens(toks)).windows(gram).view(np.int64)
+                )
+            yield pd.Series(out)
+
+    return gram_hashes
+
+
+def _make_rebuild(min_span: int, id_field: str, text_field: str):
+    """mapInPandas kernel: (id, text, _starts) -> (id, clean_text, n_removed).
+    Coverage union via a diff array — O(tokens) per doc regardless of how many
+    shared grams overlap."""
+
+    def rebuild(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            cleans, removed = [], []
+            for text, starts in zip(pdf[text_field], pdf["_starts"]):
+                toks = text.split(" ") if text else []
+                n = len(toks)
+                diff = np.zeros(n + 1, dtype=np.int64)
+                s = np.asarray(starts, dtype=np.int64)
+                np.add.at(diff, s, 1)
+                np.add.at(diff, np.minimum(s + min_span, n), -1)
+                cut = np.cumsum(diff[:n]) > 0
+                cleans.append(" ".join(t for t, c in zip(toks, cut) if not c))
+                removed.append(int(cut.sum()))
+            yield pd.DataFrame(
+                {
+                    id_field: pdf[id_field],
+                    "clean_text": cleans,
+                    "n_removed": pd.Series(removed, dtype="int32"),
+                }
+            )
+
+    return rebuild
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    min_span: int = 50,
+    id_col: str = "url",
+    text_col: str = "text",
+    hash_seed: int = 42,
+) -> DataFrame:
+    """Corpus after exact-substring removal: ``(id_col, clean_text, n_removed)``,
+    one row per input document. ``clean_text`` is the whitespace re-join of the
+    tokens NOT covered by any shared ``min_span``-gram owned by a smaller doc id;
+    ``n_removed`` counts removed tokens (0 for owners, short docs, and documents
+    sharing nothing)."""
+    base = docs.select(id_col, text_col)
+    grams = (
+        base.withColumn("_ghs", make_gram_hash_udf(min_span, hash_seed)(text_col))
+        .select(id_col, F.posexplode("_ghs").alias("_pos", "_gh"))
+    )
+    # shared iff min(id) != max(id): one map-side-combined pass, no countDistinct
+    owners = (
+        grams.groupBy("_gh")
+        .agg(F.min(id_col).alias("_owner"), F.max(id_col).alias("_maxid"))
+        .where(F.col("_owner") != F.col("_maxid"))
+        .select("_gh", "_owner")
+    )
+    covered = (
+        grams.join(owners, "_gh")
+        .where(F.col(id_col) > F.col("_owner"))
+        .select(id_col, "_pos")
+    )
+    starts = covered.groupBy(id_col).agg(
+        F.sort_array(F.collect_set("_pos")).alias("_starts")
+    )
+    out_schema = T.StructType(
+        [
+            base.schema[id_col],
+            T.StructField("clean_text", T.StringType()),
+            T.StructField("n_removed", T.IntegerType()),
+        ]
+    )
+    affected = base.join(starts, id_col).mapInPandas(
+        _make_rebuild(min_span, id_col, text_col), out_schema
+    )
+    untouched = base.join(starts.select(id_col), id_col, "left_anti").select(
+        id_col,
+        F.col(text_col).alias("clean_text"),
+        F.lit(0).cast("int").alias("n_removed"),
+    )
+    return affected.unionByName(untouched)
