@@ -2000,13 +2000,15 @@ def q_contamination_flags(spark, sf):
     per-document contaminated-gram position counts — hash-matched against a
     DuckDB list-slice restatement. The benchmark side collapses to distinct
     8-byte gram hashes behind a count-gated broadcast; the corpus side
-    explodes map-side and probes the broadcast, so the only exchange is the
-    final map-side-combined hit count. No reference analog (SURVEY §2)."""
+    explodes map-side and probes a Bloom bitmap first (exact-preserving —
+    every positive is re-confirmed by the hash join, so the oracle drives the
+    Bloom path end-to-end), so the only exchange is the final
+    map-side-combined hit count. No reference analog (SURVEY §2)."""
     from cqaduplicatefind_spark.operators.contamination import contaminated_docs
 
     docs = _read(spark, sf, "documents")
     bench = docs.where(F.col("doc_id") % 50 == 0)
-    return contaminated_docs(docs, bench, n=13, id_col="doc_id")
+    return contaminated_docs(docs, bench, n=13, id_col="doc_id", bloom_prefilter=True)
 
 
 # ---------- the whole engine, end to end: crawl captures -> training corpus ----------
