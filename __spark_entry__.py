@@ -2011,6 +2011,55 @@ def q_contamination_flags(spark, sf):
     return contaminated_docs(docs, bench, n=13, id_col="doc_id", bloom_prefilter=True)
 
 
+@_register(
+    "top_ngrams_corpus",
+    """
+    WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+    i AS (SELECT t, unnest(range(len(t) - 1)) AS i FROM toks WHERE len(t) >= 2),
+    g AS (SELECT array_to_string(list_slice(t, i + 1, i + 2), ' ') AS gram FROM i),
+    c AS (SELECT gram, count(*) AS cnt FROM g GROUP BY gram)
+    SELECT gram, cnt FROM c ORDER BY cnt DESC, gram LIMIT 20
+    """,
+)
+def q_top_ngrams_corpus(spark, sf):
+    """Exact global top-20 bigrams of the corpus (template/boilerplate
+    profiling). The counting exchange carries only (xxhash64, partial count);
+    gram text surfaces via a broadcast semi-join for the >= k-th-count winners
+    alone, then the total order (cnt desc, gram asc) makes tie boundaries
+    deterministic across engines."""
+    from cqaduplicatefind_spark.operators.corpus_stats import top_ngrams
+
+    return top_ngrams(_read(spark, sf, "documents"), n=2, k=20)
+
+
+@_register(
+    "stratified_sample_docs",
+    """
+    SELECT doc_id, source
+    FROM documents d
+    JOIN (VALUES ('src0', '4ccccccc'), ('src1', '19999999'),
+                 ('src2', 'g'), ('src3', '00000000')) r(source, thr)
+      USING (source)
+    WHERE substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8) < r.thr
+    """,
+)
+def q_stratified_sample_docs(spark, sf):
+    """Deterministic training-mixture sampling: per-source keep rates applied
+    via an md5 threshold rule that is reproducible across engines,
+    partitionings, and reruns, with nested samples as rates grow. src0 at 30%,
+    src1 at 10%, src2 at 100%, src3 at 0%; unlisted sources default to 0."""
+    from cqaduplicatefind_spark.operators.corpus_stats import stratified_sample
+
+    docs = _read(spark, sf, "documents").select("doc_id", "source")
+    return stratified_sample(
+        docs,
+        {"src0": 0.3, "src1": 0.1, "src2": 1.0, "src3": 0.0},
+        strat_col="source",
+        id_col="doc_id",
+        seed=42,
+    )
+
+
 # ---------- the whole engine, end to end: crawl captures -> training corpus ----------
 #
 # The composite a real user runs at 100 TB: messy multi-capture crawl rows go
