@@ -62,6 +62,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 # on the next call (the returned frame reads from them, so they can't be freed
 # within the call itself); see the comment at the use site
 _SPAN_ORACLE_HANDLES: list = []
+_SUBSTR_HANDLES: list = []
 
 
 def _register(name: str, sql: str | None):
@@ -905,8 +906,14 @@ def q_exact_substring_removal(spark, sf):
     from cqaduplicatefind_spark.operators.span_removal import remove_duplicate_spans
 
     docs = _read(spark, sf, "documents").select("doc_id", "text")
+    # release the previous invocation's starts-checkpoint blocks (the returned
+    # lazy frame reads the current ones — same lifecycle as _SPAN_ORACLE_HANDLES)
+    for h in _SUBSTR_HANDLES:
+        h.unpersist()
+    _SUBSTR_HANDLES.clear()
     return remove_duplicate_spans(
-        docs, min_span=15, id_col="doc_id", text_col="text"
+        docs, min_span=15, id_col="doc_id", text_col="text",
+        persisted=_SUBSTR_HANDLES,
     )
 
 

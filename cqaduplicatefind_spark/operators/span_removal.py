@@ -108,16 +108,41 @@ def remove_duplicate_spans(
     id_col: str = "url",
     text_col: str = "text",
     hash_seed: int = 42,
+    persisted: list | None = None,
 ) -> DataFrame:
     """Corpus after exact-substring removal: ``(id_col, clean_text, n_removed)``,
     one row per input document. ``clean_text`` is the whitespace re-join of the
     tokens NOT covered by any shared ``min_span``-gram owned by a smaller doc id;
     ``n_removed`` counts removed tokens (0 for owners, short docs, and documents
-    sharing nothing)."""
+    sharing nothing).
+
+    The gram frame feeds two consumers (the owner aggregate and the probe
+    join), so the tokenize+rolling-hash UDF runs twice — one extra CPU pass
+    over the corpus, no extra shuffle; at corpus scale that recompute is
+    cheaper than materializing one row per token position. The per-affected-
+    document start lists, by contrast, are TINY and are localCheckpoint'ed so
+    the rebuild and pass-through branches share one computation; pass
+    ``persisted`` (a list) to receive a handle whose ``unpersist()`` frees the
+    checkpoint blocks once the returned frame is materialized (same contract
+    as ``overlap.exact_span_edges``). A corpus with no cross-document shared
+    run short-circuits to pure pass-through after one aggregate+join job."""
+    from cqaduplicatefind_spark.operators.connected_components import (
+        _persistent_rdd_ids,
+        _unpersist_rdd_ids,
+    )
+    from cqaduplicatefind_spark.operators.overlap import _CheckpointHandle
+
+    spark = docs.sparkSession
     base = docs.select(id_col, text_col)
+    # posexplode_OUTER + null filter, not plain posexplode: the inner generate
+    # makes Catalyst infer a `size(udf(text)) > 0` pre-filter
+    # (InferFiltersFromGenerate), which evaluates the gram UDF a SECOND time
+    # per row; the outer variant infers nothing, so the tokenize+hash pass
+    # runs once and short docs cost one null row each instead
     grams = (
         base.withColumn("_ghs", make_gram_hash_udf(min_span, hash_seed)(text_col))
-        .select(id_col, F.posexplode("_ghs").alias("_pos", "_gh"))
+        .select(id_col, F.posexplode_outer("_ghs").alias("_pos", "_gh"))
+        .where(F.col("_gh").isNotNull())
     )
     # shared iff min(id) != max(id): one map-side-combined pass, no countDistinct
     owners = (
@@ -131,9 +156,20 @@ def remove_duplicate_spans(
         .where(F.col(id_col) > F.col("_owner"))
         .select(id_col, "_pos")
     )
+    before = _persistent_rdd_ids(spark)
     starts = covered.groupBy(id_col).agg(
         F.sort_array(F.collect_set("_pos")).alias("_starts")
+    ).localCheckpoint()  # tiny (affected docs only); both union branches read it
+    ckpt_ids = _persistent_rdd_ids(spark) - before
+    n_affected = starts.count()
+    passthrough = F.col(text_col).alias("clean_text"), F.lit(0).cast("int").alias(
+        "n_removed"
     )
+    if n_affected == 0:
+        _unpersist_rdd_ids(spark, ckpt_ids)
+        return base.select(id_col, *passthrough)
+    if persisted is not None:
+        persisted.append(_CheckpointHandle(spark, ckpt_ids))
     out_schema = T.StructType(
         [
             base.schema[id_col],
@@ -141,12 +177,14 @@ def remove_duplicate_spans(
             T.StructField("n_removed", T.IntegerType()),
         ]
     )
-    affected = base.join(starts, id_col).mapInPandas(
+    # affected docs are usually a thin slice: broadcast the start lists so
+    # neither the rebuild join nor the pass-through anti-join shuffles the
+    # corpus (count-gated, shuffle fallback)
+    small = n_affected <= 1_000_000
+    build = F.broadcast(starts) if small else starts
+    anti = F.broadcast(starts.select(id_col)) if small else starts.select(id_col)
+    affected = base.join(build, id_col).mapInPandas(
         _make_rebuild(min_span, id_col, text_col), out_schema
     )
-    untouched = base.join(starts.select(id_col), id_col, "left_anti").select(
-        id_col,
-        F.col(text_col).alias("clean_text"),
-        F.lit(0).cast("int").alias("n_removed"),
-    )
+    untouched = base.join(anti, id_col, "left_anti").select(id_col, *passthrough)
     return affected.unionByName(untouched)

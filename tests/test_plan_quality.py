@@ -114,3 +114,52 @@ def test_candidate_stage_shuffle_budget(spark, cfg):
         assert keys <= expected, f"unexpected shuffle key families: {keys - expected}"
     finally:
         sigs.unpersist()
+
+
+def test_substring_removal_plan_shape(spark):
+    """Owner discovery must be a map-side-combined hash aggregate over 8-byte
+    gram hashes, the rebuild must be the ONLY MapInPandas (untouched docs
+    bypass Python via the anti-join pass-through), and no cartesian product
+    may appear anywhere."""
+    from cqaduplicatefind_spark.operators.span_removal import remove_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j + i % 3}" for j in range(30))) for i in range(50)],
+        "doc_id long, text string",
+    )
+    out = remove_duplicate_spans(docs, 15, "doc_id", "text")
+    plan = plan_of(out, "simple")
+    assert plan.count("MapInPandas") == 1                   # rebuild only
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the start lists were computed ONCE (eager localCheckpoint) and both
+    # union branches read the checkpointed RDD — the gram UDF and the owner
+    # aggregate never appear in the consuming plan
+    import re
+
+    assert len(re.findall(r"Scan ExistingRDD\[[^\]]*_starts", plan)) == 2
+    assert "ArrowEvalPython" not in plan
+    # and the rebuild/pass-through joins broadcast the small start lists
+    assert "BroadcastHashJoin" in plan
+
+
+def test_top_ngrams_slim_exchange(spark):
+    """The corpus-wide counting exchange must carry (hash, count) — never gram
+    text — and the k-th-count threshold must come from a distributed top-k
+    (TakeOrderedAndProject), not a global sort."""
+    import re
+
+    from cqaduplicatefind_spark.operators.corpus_stats import top_ngrams
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox " * 5) for i in range(50)],
+        "doc_id long, text string",
+    )
+    plan = plan_of(top_ngrams(docs, n=2, k=10), "formatted")
+    assert "TakeOrderedAndProject" in plan
+    # every hash-partitioned exchange keys on the gram hash or count, and the
+    # full-corpus count aggregate is map-side combined
+    assert "partial_count" in plan
+    # find Exchange argument lists; none may hash-partition on raw gram text
+    for args in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "gram#" not in args, plan
