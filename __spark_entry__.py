@@ -63,6 +63,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 # within the call itself); see the comment at the use site
 _SPAN_ORACLE_HANDLES: list = []
 _SUBSTR_HANDLES: list = []
+_PREP_HANDLES: list = []
 
 
 def _register(name: str, sql: str | None):
@@ -2065,6 +2066,113 @@ def q_stratified_sample_docs(spark, sf):
         id_col="doc_id",
         seed=42,
     )
+
+
+@_register(
+    "corpus_prep_end_to_end",
+    """
+    WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+    corpus AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 50 <> 0),
+    btoks AS (SELECT string_split(text, ' ') AS t FROM bench),
+    bgrams AS (
+      SELECT DISTINCT array_to_string(list_slice(t, i + 1, i + 13), ' ') AS g
+      FROM (SELECT t, unnest(range(len(t) - 12)) AS i FROM btoks WHERE len(t) >= 13)
+    ),
+    ctoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+    cgrams AS (
+      SELECT DISTINCT doc_id, array_to_string(list_slice(t, i + 1, i + 13), ' ') AS g
+      FROM (SELECT doc_id, t, unnest(range(len(t) - 12)) AS i
+            FROM ctoks WHERE len(t) >= 13)
+    ),
+    contaminated AS (SELECT DISTINCT doc_id FROM cgrams JOIN bgrams USING (g)),
+    clean AS (
+      SELECT c.* FROM corpus c LEFT JOIN contaminated x USING (doc_id)
+      WHERE x.doc_id IS NULL
+    ),
+    ktoks AS (SELECT doc_id, string_split(text, ' ') AS t,
+                     len(string_split(text, ' ')) AS nt FROM clean),
+    g2 AS (SELECT doc_id, nt,
+             unnest(list_transform(range(1, nt), i -> t[i] || ' ' || t[i+1])) AS g
+           FROM ktoks WHERE nt >= 2),
+    c2 AS (SELECT doc_id, any_value(nt) AS nt, count(*) AS c FROM g2 GROUP BY doc_id, g),
+    m2 AS (SELECT doc_id, max(c) * 2.0 / any_value(nt) AS f FROM c2 GROUP BY doc_id),
+    keep AS (
+      SELECT k.doc_id FROM ktoks k LEFT JOIN m2 USING (doc_id)
+      WHERE round(coalesce(m2.f, 0.0), 6) <= 0.12
+    ),
+    surv AS (SELECT c.doc_id, c.source, c.text FROM clean c JOIN keep USING (doc_id)),
+    stoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM surv),
+    s AS (SELECT doc_id, t, unnest(range(len(t) - 14)) AS i
+          FROM stoks WHERE len(t) >= 15),
+    grams AS (SELECT doc_id, i,
+                     array_to_string(list_slice(t, i + 1, i + 15), ' ') AS g FROM s),
+    owner AS (
+      SELECT g, min(doc_id) AS owner_id
+      FROM (SELECT DISTINCT doc_id, g FROM grams)
+      GROUP BY g HAVING count(*) >= 2
+    ),
+    covered AS (
+      SELECT DISTINCT gr.doc_id, gr.i + u.o AS j
+      FROM grams gr JOIN owner ow ON gr.g = ow.g AND ow.owner_id < gr.doc_id
+      CROSS JOIN (SELECT unnest(range(15)) AS o) u
+    ),
+    pertok AS (SELECT doc_id, unnest(t) AS tok, unnest(range(len(t))) AS j FROM stoks),
+    kept AS (
+      SELECT p.doc_id, p.tok, p.j
+      FROM pertok p LEFT JOIN covered c ON p.doc_id = c.doc_id AND p.j = c.j
+      WHERE c.doc_id IS NULL
+    ),
+    cleaned AS (
+      SELECT t.doc_id,
+             coalesce(string_agg(k.tok, ' ' ORDER BY k.j), '') AS clean_text,
+             CAST(len(t.t) - count(k.j) AS INTEGER) AS n_removed
+      FROM stoks t LEFT JOIN kept k USING (doc_id)
+      GROUP BY t.doc_id, len(t.t)
+    )
+    SELECT s.doc_id, s.source, c.clean_text, c.n_removed
+    FROM surv s JOIN cleaned c USING (doc_id)
+    WHERE (CAST(substr(s.source, 4) AS INT) % 2 = 0)
+       OR substr(md5('7:' || CAST(s.doc_id AS VARCHAR)), 1, 8) < '80000000'
+    """,
+)
+def q_corpus_prep_end_to_end(spark, sf):
+    """The corpus-PREP composite — the forward-path chain a training pipeline
+    runs after dedup, driving the round-3 tiers in pipeline order under ONE
+    oracle: benchmark decontamination (13-gram overlap vs the held-out eval
+    slice, Bloom-gated) -> Gopher repetition gate (rounded top-2-gram coverage
+    <= 0.12) -> exact duplicated-substring removal (15-token ownership rule,
+    computed among survivors) -> deterministic stratified sampling (odd
+    sources at 50%, even kept whole). Each tier is oracle-checked in
+    isolation; this row pins their COMPOSITION (filter ordering, ownership
+    recomputed on the filtered corpus, id/source handoffs) end to end."""
+    from cqaduplicatefind_spark.operators.contamination import contaminated_docs
+    from cqaduplicatefind_spark.operators.corpus_stats import stratified_sample
+    from cqaduplicatefind_spark.operators.repetition import repetition_features
+    from cqaduplicatefind_spark.operators.span_removal import remove_duplicate_spans
+
+    docs = _read(spark, sf, "documents").select("doc_id", "source", "text")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    corpus = docs.where(F.col("doc_id") % 50 != 0)
+    flags = contaminated_docs(
+        corpus, bench, n=13, id_col="doc_id", bloom_prefilter=True
+    )
+    clean = corpus.join(flags.select("doc_id"), "doc_id", "left_anti")
+    rep = repetition_features(clean, id_col="doc_id", text_col="text")
+    keep = rep.where(F.round("top_ngram_frac", 6) <= 0.12).select("doc_id")
+    surv = clean.join(keep, "doc_id")
+    for h in _PREP_HANDLES:
+        h.unpersist()
+    _PREP_HANDLES.clear()
+    cleaned = remove_duplicate_spans(
+        surv.select("doc_id", "text"), min_span=15, id_col="doc_id",
+        text_col="text", persisted=_PREP_HANDLES,
+    )
+    rates = {f"src{i}": 0.5 for i in range(1, 20, 2)}
+    sampled = stratified_sample(
+        cleaned.join(surv.select("doc_id", "source"), "doc_id"),
+        rates, strat_col="source", id_col="doc_id", seed=7, default_rate=1.0,
+    )
+    return sampled.select("doc_id", "source", "clean_text", "n_removed")
 
 
 # ---------- the whole engine, end to end: crawl captures -> training corpus ----------

