@@ -2157,17 +2157,28 @@ def q_corpus_prep_end_to_end(spark, sf):
         corpus, bench, n=13, id_col="doc_id", bloom_prefilter=True
     )
     clean = corpus.join(flags.select("doc_id"), "doc_id", "left_anti")
-    rep = repetition_features(clean, id_col="doc_id", text_col="text")
+    rep = repetition_features(
+        clean, id_col="doc_id", text_col="text", signals=("top",)
+    )
     keep = rep.where(F.round("top_ngram_frac", 6) <= 0.12).select("doc_id")
-    surv = clean.join(keep, "doc_id")
     for h in _PREP_HANDLES:
         h.unpersist()
     _PREP_HANDLES.clear()
+    # the decontamination + repetition-gate subtree feeds FIVE consumers
+    # downstream (two gram passes inside removal, the rebuild join, the
+    # pass-through anti-join, the source join): persist the survivors once,
+    # released on the next invocation alongside the removal checkpoint
+    surv = clean.join(keep, "doc_id").persist()
+    _PREP_HANDLES.append(surv)
     cleaned = remove_duplicate_spans(
         surv.select("doc_id", "text"), min_span=15, id_col="doc_id",
         text_col="text", persisted=_PREP_HANDLES,
     )
-    rates = {f"src{i}": 0.5 for i in range(1, 20, 2)}
+    # mirror the oracle's GENERIC odd-source rule by deriving rates from the
+    # data (a hardcoded src1..src19 dict would silently diverge if the
+    # testdata generator ever emitted more sources)
+    sources = [r.source for r in surv.select("source").distinct().collect()]
+    rates = {s: 0.5 for s in sources if int(s[3:]) % 2 == 1}
     sampled = stratified_sample(
         cleaned.join(surv.select("doc_id", "source"), "doc_id"),
         rates, strat_col="source", id_col="doc_id", seed=7, default_rate=1.0,

@@ -20,9 +20,11 @@ Scale shape (10^12 training docs vs a small eval set):
   exchange is the final map-side-combined per-document hit count;
 - ``bloom_prefilter=True`` puts an exact-preserving Bloom gate in front of
   the confirming join: a broadcast bitmap of ~10 bits per benchmark gram
-  (vs 64 for the raw hash set) filters corpus grams map-side, so only true
-  hits plus a ~0.8% false-positive tail pay the hash-join probe; results
-  are bit-identical because every Bloom positive is re-checked exactly;
+  (vs 64 for the raw hash set) filters corpus grams map-side; results are
+  bit-identical because every Bloom positive is re-checked exactly. The
+  gate's win condition is a benchmark too big to broadcast raw (see the
+  ``contaminated_docs`` docstring) — with a comfortably-broadcast raw set
+  the codegen join probe alone is cheaper than the Arrow round-trip;
 - gram text never crosses an exchange (8-byte hashes; ~2^-64 per-gram
   collision caveat, the same documented class as the line tier — a
   collision can only over-flag, never silently pass contamination).
@@ -47,6 +49,10 @@ from cqaduplicatefind_spark.operators.repetition import _ngrams
 # 8-byte hashes: 50M grams ~ 400 MB broadcast upper bound; beyond that the
 # probe falls back to a shuffle join
 BROADCAST_MAX_BENCH_GRAMS = 50_000_000
+
+# bitmap cap: 200M grams at 10 bits/elem ~ 250 MB driver/broadcast footprint;
+# beyond that the Bloom gate is skipped (the shuffle-join fallback handles it)
+BLOOM_MAX_BENCH_GRAMS = 200_000_000
 
 
 def _bloom_positions(gh: np.ndarray, m: int, k: int) -> tuple[np.ndarray, np.ndarray]:
@@ -123,10 +129,19 @@ def contaminated_docs(
     ``bloom_prefilter=True`` inserts an EXACT-preserving map-side Bloom gate:
     corpus gram rows probe a broadcast bitmap (~10 bits per benchmark gram vs
     64 for the raw hash set) and only Bloom-positives — true hits plus the
-    ~0.8% false-positive tail at the defaults — reach the confirming hash
-    join, so the join's probe volume drops by ~the corpus's non-overlap
-    fraction while results stay bit-identical (a Bloom negative is never a
-    member; every positive is re-checked exactly)."""
+    ~0.8% false-positive tail at the defaults — reach the confirming join,
+    while results stay bit-identical (a Bloom negative is never a member;
+    every positive is re-checked exactly). Be honest about the win condition:
+    the gate routes the corpus gram stream through an Arrow round-trip, which
+    costs MORE per row than the whole-stage-codegen BroadcastHashJoin probe
+    it short-circuits — it pays off only when the raw distinct-hash set is
+    too big to broadcast (n_bench > BROADCAST_MAX_BENCH_GRAMS, where the
+    confirm join degrades to a corpus-wide shuffle the gate then starves
+    down to the Bloom-positive sliver) or when executor broadcast memory is
+    the binding constraint (the bitmap is ~6x smaller). When the raw set
+    already broadcasts comfortably, leave the gate off. Benchmarks too big
+    for even the bitmap (> BLOOM_MAX_BENCH_GRAMS) skip the gate rather than
+    OOM the driver."""
     bench = _gram_hashes(benchmark, bench_text_col, n).distinct()
     # count-gated broadcast with shuffle fallback. The count gate runs the
     # benchmark-side distinct once and the join re-runs it — deliberately NOT
@@ -138,7 +153,7 @@ def contaminated_docs(
     n_bench = bench.count()
     probe = F.broadcast(bench) if n_bench <= BROADCAST_MAX_BENCH_GRAMS else bench
     corpus_grams = _gram_hashes(docs, text_col, n, F.col(id_col))
-    if bloom_prefilter and n_bench > 0:
+    if bloom_prefilter and 0 < n_bench <= BLOOM_MAX_BENCH_GRAMS:
         bitmap, m, k = build_gram_bloom(bench, n_bench, bloom_bits_per_elem, bloom_k)
         bc = docs.sparkSession.sparkContext.broadcast(bitmap.tobytes())
 

@@ -104,24 +104,40 @@ def repetition_features(
     text_col: str = "text",
     top_n: int = 2,
     dup_n: int = 5,
+    signals: tuple = ("line", "top", "dup"),
 ) -> DataFrame:
-    """``(id, dup_line_frac, top_ngram_frac, dup_ngram_frac)`` per document —
-    the Gopher-style intra-document repetition signals (module docstring).
+    """``(id, <requested fraction columns>)`` per document — the Gopher-style
+    intra-document repetition signals (module docstring). ``signals`` selects
+    which to compute (``line``/``top``/``dup``): a caller thresholding on one
+    signal should not pay the others' corpus-wide gram explodes and shuffles.
     Documents too short to form grams report 0 fractions; every input row
     appears in the output exactly once."""
-    base = docs.select(
-        F.col(id_col),
-        dup_line_frac_expr(text_col).cast("double").alias("dup_line_frac"),
+    unknown = set(signals) - {"line", "top", "dup"}
+    if unknown or not signals:
+        raise ValueError(f"repetition_features: bad signals {signals!r}")
+    line_expr = (
+        [dup_line_frac_expr(text_col).cast("double").alias("dup_line_frac")]
+        if "line" in signals
+        else []
     )
-    top = _gram_stat(docs, id_col, text_col, top_n, "top_ngram_frac", "top")
-    dup = _gram_stat(docs, id_col, text_col, dup_n, "dup_ngram_frac", "dup")
-    return (
-        base.join(top, id_col, "left")
-        .join(dup, id_col, "left")
-        .select(
-            id_col,
-            "dup_line_frac",
-            F.coalesce("top_ngram_frac", F.lit(0.0)).alias("top_ngram_frac"),
-            F.coalesce("dup_ngram_frac", F.lit(0.0)).alias("dup_ngram_frac"),
+    out = docs.select(F.col(id_col), *line_expr)
+    cols = (["dup_line_frac"] if "line" in signals else [])
+    if "top" in signals:
+        out = out.join(
+            _gram_stat(docs, id_col, text_col, top_n, "top_ngram_frac", "top"),
+            id_col, "left",
         )
+        cols.append("top_ngram_frac")
+    if "dup" in signals:
+        out = out.join(
+            _gram_stat(docs, id_col, text_col, dup_n, "dup_ngram_frac", "dup"),
+            id_col, "left",
+        )
+        cols.append("dup_ngram_frac")
+    return out.select(
+        id_col,
+        *[
+            F.coalesce(c, F.lit(0.0)).alias(c) if c != "dup_line_frac" else F.col(c)
+            for c in cols
+        ],
     )

@@ -11,13 +11,18 @@ identically:
 - an ``L``-token gram is *shared* when it occurs in >= 2 distinct documents;
 - its *owner* is the smallest document id containing it;
 - in every non-owner document, all token positions covered by a shared gram
-  are removed; the owner keeps its text untouched (so exactly one copy of
-  every shared run survives, and re-running removal is a no-op on the owner).
+  are removed.
 
-Within-owner repeats are intentionally kept: removal never rewrites the owner,
-which makes the operator idempotent per document and the keep-one guarantee
-auditable (the kept copy is bit-identical to the input — the north rule's
-byte-identical-text invariant applies to the surviving occurrence).
+The guarantee is dominance-based and per GRAM, not per run: tokens are only
+ever removed in favor of a strictly smaller document id, so a document that
+owns every shared gram it contains keeps byte-identical text (the corpus's
+minimum id always does, and re-running removal is a no-op on such owners —
+the north rule's byte-identical-text invariant applies to them). When
+overlapping shared runs have DIFFERENT owners, a document can own one run
+yet lose part of it to a smaller doc owning an overlapping run — removal
+still never deletes anything a smaller id doesn't hold, but no single
+intact copy of that particular run is promised. Within-owner repeats are
+intentionally kept (the owner is never rewritten on their account).
 
 Scale shape (100 TB): the gram frame is one row per token position — the honest
 cost of EXACT substring dedup (the winnow-sampled discovery pass exists
@@ -161,7 +166,10 @@ def remove_duplicate_spans(
         F.sort_array(F.collect_set("_pos")).alias("_starts")
     ).localCheckpoint()  # tiny (affected docs only); both union branches read it
     ckpt_ids = _persistent_rdd_ids(spark) - before
-    n_affected = starts.count()
+    stats = starts.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.size("_starts")).alias("pos")
+    ).first()
+    n_affected, total_positions = stats.n, stats.pos or 0
     passthrough = F.col(text_col).alias("clean_text"), F.lit(0).cast("int").alias(
         "n_removed"
     )
@@ -179,8 +187,11 @@ def remove_duplicate_spans(
     )
     # affected docs are usually a thin slice: broadcast the start lists so
     # neither the rebuild join nor the pass-through anti-join shuffles the
-    # corpus (count-gated, shuffle fallback)
-    small = n_affected <= 1_000_000
+    # corpus. The gate must bound BYTES, not rows — _starts are variable-
+    # length position arrays, so a dup-heavy corpus can pack gigabytes into
+    # few rows; cap the total position count (~8 B each -> <=80 MB) as well
+    # as the row count (shuffle fallback above either)
+    small = n_affected <= 1_000_000 and total_positions <= 10_000_000
     build = F.broadcast(starts) if small else starts
     anti = F.broadcast(starts.select(id_col)) if small else starts.select(id_col)
     affected = base.join(build, id_col).mapInPandas(

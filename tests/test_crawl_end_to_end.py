@@ -87,17 +87,25 @@ def test_corpus_prep_composite_structure(spark):
     (every even-source survivor of the upstream tiers appears)."""
     import __spark_entry__ as entry
 
-    out = entry.queries()["corpus_prep_end_to_end"](
-        spark, "/root/testdata/sf0.001"
-    ).collect()
+    sf = "/root/testdata/sf0.001"
+    out = entry.queries()["corpus_prep_end_to_end"](spark, sf).collect()
     assert out, "composite produced no rows"
     assert {c for c in out[0].asDict()} == {
         "doc_id", "source", "clean_text", "n_removed"
     }
+    orig = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf}/documents.parquet").collect()
+    }
     for r in out:
         assert r.doc_id % 50 != 0          # bench slice excluded
         assert r.n_removed >= 0
-        assert (r.clean_text == "") == (len(r.clean_text) == 0)
+        # token arithmetic ties clean_text to the source document exactly
+        n_orig = len(orig[r.doc_id].split(" "))
+        n_clean = 0 if r.clean_text == "" else len(r.clean_text.split(" "))
+        assert n_orig - n_clean == r.n_removed
+        if r.n_removed == 0:
+            assert r.clean_text == orig[r.doc_id]
     srcs = {r.source for r in out}
     # at least one even source survives untouched by sampling; odd sources are
     # halved so some may disappear at tiny scale, but evens cannot
