@@ -179,3 +179,47 @@ def sample_video_frames(df: DataFrame, n_frames: int = 4,
     return df.select("media_id", payload_col).mapInPandas(
         compute, "media_id string, frame_idx int, frame binary"
     )
+
+
+def _resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Deterministic nearest-neighbor resample (pure numpy index gather —
+    center-of-cell sampling, the classic box-center convention)."""
+    h, w = img.shape[0], img.shape[1]
+    rows = np.minimum(((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64), h - 1)
+    cols = np.minimum(((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64), w - 1)
+    return img[rows][:, cols]
+
+
+def resize_images(df: DataFrame, out_h: int = 64, out_w: int = 64,
+                  payload_col: str = "payload", strict: bool = False) -> DataFrame:
+    """media -> (media_id, height, width, resized): decode (real for PPM/PNG,
+    stubbed otherwise — module docstring), nearest-neighbor resize to
+    (out_h, out_w), re-emit as raw uint8 bytes (row-major, channels-last).
+    The Arrow batch shape, schema, and resample math are real; only exotic
+    codecs are stubbed. One narrow mapInPandas — no shuffle, scales as a
+    projection."""
+    if out_h < 1 or out_w < 1:
+        raise ValueError("resize_images: output dims must be >= 1")
+
+    def compute(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            outs = []
+            for p in pdf[payload_col]:
+                img = _decode_image_bytes(bytes(p) if p is not None else b"", strict)
+                outs.append(
+                    np.ascontiguousarray(
+                        _resize_nearest(img, out_h, out_w)
+                    ).astype(np.uint8, copy=False).tobytes()
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "height": pd.Series([out_h] * len(pdf), dtype="int32"),
+                    "width": pd.Series([out_w] * len(pdf), dtype="int32"),
+                    "resized": outs,
+                }
+            )
+
+    return df.select("media_id", payload_col).mapInPandas(
+        compute, "media_id string, height int, width int, resized binary"
+    )

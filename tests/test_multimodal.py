@@ -220,3 +220,41 @@ def test_nonstrict_decode_never_raises_on_variant_or_corrupt_payloads():
     a = _decode_image_bytes(payloads[0], strict=False)
     b = _decode_image_bytes(payloads[0], strict=False)
     assert (a == b).all()
+
+
+def test_resize_images_real_ppm_path(spark):
+    """Resize over REAL decoded pixels (pure-stdlib PPM codec): exact
+    nearest-neighbor parity with a numpy reference, both up and down."""
+    from cqaduplicatefind_spark.functions.imagecodec import encode_ppm
+    from cqaduplicatefind_spark.functions.multimodal import (
+        _resize_nearest,
+        resize_images,
+    )
+
+    rgb = _rand_img((10, 7, 3), seed=3)
+    df = spark.createDataFrame(
+        [("m1", bytearray(encode_ppm(rgb)))], "media_id string, payload binary"
+    )
+    for oh, ow in [(4, 4), (20, 15)]:
+        (row,) = resize_images(df, oh, ow, strict=True).collect()
+        got = np.frombuffer(bytes(row.resized), dtype=np.uint8).reshape(oh, ow, 3)
+        assert (row.height, row.width) == (oh, ow)
+        assert np.array_equal(got, _resize_nearest(rgb, oh, ow))
+
+
+def test_resize_images_identity_and_stub(spark):
+    """Same-size resize of a decodable payload is the identity; non-strict
+    mode never raises on undecodable bytes and still emits the contract
+    shape."""
+    from cqaduplicatefind_spark.functions.imagecodec import encode_ppm
+    from cqaduplicatefind_spark.functions.multimodal import resize_images
+
+    rgb = _rand_img((6, 5, 3), seed=9)
+    df = spark.createDataFrame(
+        [("ok", bytearray(encode_ppm(rgb))), ("junk", bytearray(b"\x00\x01"))],
+        "media_id string, payload binary",
+    )
+    rows = {r.media_id: r for r in resize_images(df, 6, 5).collect()}
+    got = np.frombuffer(bytes(rows["ok"].resized), dtype=np.uint8).reshape(6, 5, 3)
+    assert np.array_equal(got, rgb)
+    assert len(bytes(rows["junk"].resized)) == 6 * 5 * 3  # stub is (16,16,3)

@@ -81,6 +81,13 @@ def test_ivf_representative_path(spark, planted):
     # clusters over 60 random bases, some copy's source is its list's min;
     # assert the path dropped SOMETHING and never a base vector
     assert len(kept) < 80
+    # representative-only comparison can MISS dominations but never invent
+    # them: the IVF kept set is a superset of the exact kept set
+    exact = {
+        r.vec_id
+        for r in semantic_dedup_kept(df, threshold=0.99, method="exact").collect()
+    }
+    assert exact <= kept
 
 
 def test_bring_your_own_pairs_seam(spark, planted):
