@@ -64,6 +64,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 _SPAN_ORACLE_HANDLES: list = []
 _SUBSTR_HANDLES: list = []
 _PREP_HANDLES: list = []
+_TOPNGRAM_HANDLES: list = []
 
 
 def _register(name: str, sql: str | None):
@@ -2037,7 +2038,12 @@ def q_top_ngrams_corpus(spark, sf):
     deterministic across engines."""
     from cqaduplicatefind_spark.operators.corpus_stats import top_ngrams
 
-    return top_ngrams(_read(spark, sf, "documents"), n=2, k=20)
+    for h in _TOPNGRAM_HANDLES:
+        h.unpersist()
+    _TOPNGRAM_HANDLES.clear()
+    return top_ngrams(
+        _read(spark, sf, "documents"), n=2, k=20, persisted=_TOPNGRAM_HANDLES
+    )
 
 
 @_register(

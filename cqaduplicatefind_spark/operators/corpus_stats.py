@@ -9,12 +9,14 @@ corpus-scale analogs the Common-Crawl-shaped input needs.
 Scale shape:
 
 - ``top_ngrams`` never shuffles gram TEXT for the corpus: the counting
-  exchange carries (8-byte xxhash64, partial count) rows (map-side combined),
-  the k-th count threshold comes from a distributed top-k on that slim frame
-  (TakeOrderedAndProject — no global sort), and gram text is fetched only for
-  the >= threshold winners via a broadcast semi-join back over the gram
-  stream (vocab text crosses the wire for candidate hashes only, ~k rows).
-  Two corpus scans total (count pass + text-fetch pass), both pure Catalyst.
+  exchange carries (8-byte xxhash64, partial count) rows (map-side combined)
+  into a persisted vocab-sized count frame that both downstream consumers
+  read, the k-th count threshold comes from a distributed top-k on that slim
+  frame (TakeOrderedAndProject — no global sort), and gram text is fetched
+  only for the >= threshold winners via a broadcast semi-join back over the
+  gram stream (vocab text crosses the wire for candidate hashes only, ~k
+  rows). Two corpus scans total (count pass + text-fetch pass), both pure
+  Catalyst.
 - ``stratified_sample`` is one broadcast join + a per-row md5 comparison in
   whole-stage codegen: keep a row iff the first 8 hex digits of
   md5(seed:id) sort below the stratum's rate threshold. Deterministic across
@@ -30,15 +32,31 @@ from cqaduplicatefind_spark.operators.repetition import _ngrams
 
 
 def top_ngrams(
-    docs: DataFrame, n: int = 2, k: int = 20, text_col: str = "text"
+    docs: DataFrame,
+    n: int = 2,
+    k: int = 20,
+    text_col: str = "text",
+    persisted: list | None = None,
 ) -> DataFrame:
     """Exact global top-k n-grams: ``(gram, cnt)``, ordered by count desc then
     gram asc (total order — deterministic at tie boundaries). Counts are by
-    occurrence (not per-document)."""
+    occurrence (not per-document).
+
+    The per-hash count frame feeds two consumers (the k-th-count threshold
+    and the boundary-candidate filter), so it is persisted — without the
+    cache the corpus-wide counting exchange would run twice. Pass
+    ``persisted`` (a list) to take ownership of releasing it after the
+    returned frame is materialized; with ``None`` the cache lives until the
+    session drops it (fine for one-shot jobs, wrong for harnesses — the
+    driver query threads its handle list)."""
     gram_stream = docs.select(
         F.explode(_ngrams(F.split(F.col(text_col), " "), n)).alias("gram")
     ).select(F.xxhash64("gram").alias("_gh"), "gram")
-    counts = gram_stream.groupBy("_gh").agg(F.count(F.lit(1)).alias("cnt"))
+    counts = (
+        gram_stream.groupBy("_gh").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    )
+    if persisted is not None:
+        persisted.append(counts)
     # k-th highest count as a 1-row frame: candidates = every hash at or above
     # it (ties at the boundary included, so the final text-ordered limit k is
     # exact regardless of which hashes the slim top-k happened to keep)

@@ -160,6 +160,10 @@ def test_top_ngrams_slim_exchange(spark):
     # every hash-partitioned exchange keys on the gram hash or count, and the
     # full-corpus count aggregate is map-side combined
     assert "partial_count" in plan
+    # the vocab count frame is cached and BOTH consumers (threshold +
+    # candidate filter) read the cache — the corpus counting exchange must
+    # not appear twice
+    assert plan.count("InMemoryTableScan") >= 2
     # find Exchange argument lists; none may hash-partition on raw gram text
     for args in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "gram#" not in args, plan
