@@ -1551,6 +1551,54 @@ def q_pipeline_cluster_assignments(spark, sf):
 
 
 @_register(
+    "grouped_cluster_assignments",
+    f"""
+    WITH RECURSIVE {_BRUTE_JACCARD_CTES},
+    src AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, source FROM documents),
+    edges AS (
+      SELECT id_a, id_b
+      FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        JOIN src xa ON xa.doc_id = id_a
+        JOIN src xb ON xb.doc_id = id_b
+      WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.7
+        AND xa.source = xb.source
+    ),
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM edges
+      UNION ALL
+      SELECT id_b AS a, id_a AS b FROM edges
+    ),
+    reach(u, m) AS (
+      SELECT doc_id, doc_id FROM toks
+      UNION
+      SELECT r.u, s2.b FROM reach r JOIN sym s2 ON s2.a = r.m
+    )
+    SELECT u AS url, min(m) AS cluster_id FROM reach GROUP BY u
+    """,
+)
+def q_grouped_cluster_assignments(spark, sf):
+    """GROUP-SCOPED dedup's final cluster assignment (the reference's
+    per-forum runs as ONE job, SURVEY U1): candidates never cross ``source``,
+    hash-matched against the recursive-CTE closure of the brute-force Jaccard
+    edge set RESTRICTED to same-source pairs. Same SQL-expressible config as
+    ``dedup_pipeline_cluster_assignments`` — this promotes the grouped
+    pipeline (previously a rows-only row at full config) to a driver-verified
+    output; the full-config grouped row remains alongside."""
+    from cqaduplicatefind_spark.plans.pipeline import run_pipeline
+
+    docs = _read(spark, sf, "documents")
+    pages = docs.select(
+        F.col("doc_id").cast("string").alias("url"), "text", "source"
+    )
+    result = run_pipeline(
+        spark, pages, _edge_oracle_config(), group_col="source"
+    )
+    return result.clusters.select("url", "cluster_id")
+
+
+@_register(
     "dedup_canonical_docs",
     f"""
     WITH RECURSIVE {_BRUTE_CLOSURE_CTES},
