@@ -65,6 +65,7 @@ _SPAN_ORACLE_HANDLES: list = []
 _SUBSTR_HANDLES: list = []
 _PREP_HANDLES: list = []
 _TOPNGRAM_HANDLES: list = []
+_LM_HANDLES: list = []
 
 
 def _register(name: str, sql: str | None):
@@ -588,6 +589,50 @@ def q_quality(spark, sf):
             / F.greatest(F.size("t"), F.lit(1)),
             6,
         ).alias("long_word_ratio"),
+    )
+
+
+@_register(
+    "unigram_logprob_quality",
+    """
+    WITH tk AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf FROM tk WHERE tok <> ''
+      GROUP BY doc_id, tok
+    ),
+    cnt AS (SELECT tok, sum(tf) AS c FROM tf GROUP BY tok),
+    tot AS (SELECT sum(c)::DOUBLE AS n, count(*)::DOUBLE AS v FROM cnt),
+    doc AS (
+      SELECT doc_id,
+             sum(tf)::BIGINT AS n_tokens,
+             round(sum(tf::DOUBLE * ln((c::DOUBLE + 0.5) / (n + 0.5 * v)))
+                   / sum(tf)::DOUBLE, 6) AS avg_logprob
+      FROM tf JOIN cnt USING (tok) CROSS JOIN tot
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, avg_logprob,
+           round(exp(-avg_logprob), 2) AS ppl
+    FROM doc
+    """,
+)
+def q_unigram_logprob_quality(spark, sf):
+    """CCNet-style corpus-trained unigram-LM quality score: every document's
+    mean token log-probability (and perplexity) under a Lidstone-smoothed
+    unigram model fitted on the corpus itself. Hot vocabulary joins broadcast
+    (top-64Ki head carries the Zipf mass), only the skew-free rare tail
+    shuffles; totals ride as a broadcast 1-row frame. Capability analog of the
+    reference's count-vector quality models
+    (/root/reference/src/NBAndXGBCountVectorClassifier.py) at corpus scale."""
+    from cqaduplicatefind_spark.operators.lm_quality import unigram_logprob
+
+    for h in _LM_HANDLES:
+        h.unpersist()
+    _LM_HANDLES.clear()
+    return unigram_logprob(
+        _read(spark, sf, "documents"), id_col="doc_id",
+        persisted=_LM_HANDLES,
     )
 
 
