@@ -60,9 +60,13 @@ def unigram_logprob(
 
     ``head_k`` sizes the broadcast head of the vocabulary (64 Ki token texts
     plus counts is a few MiB — safe at default broadcast limits); the rare
-    tail joins shuffled. ``persisted`` (a list) takes ownership of the vocab
-    count cache, which feeds the head top-k, the tail join, and the totals;
-    the caller unpersists after materializing the result.
+    tail joins shuffled. ``persisted`` (a list) takes ownership of the two
+    caches: the term-frequency frame (one row per distinct (doc, token) —
+    feeds the count fit plus both score branches; without the cache the
+    tokenize + groupBy exchange runs three times, and MEMORY_AND_DISK
+    spilling beats recomputing the corpus scan at scale) and the vocab count
+    frame (feeds the head top-k, the tail join, and the totals). The caller
+    unpersists after materializing the result.
     """
     tf = (
         docs.select(
@@ -72,7 +76,10 @@ def unigram_logprob(
         .where(F.col("_tok") != "")
         .groupBy("_id", "_tok")
         .agg(F.count(F.lit(1)).alias("_tf"))
+        .persist()
     )
+    if persisted is not None:
+        persisted.append(tf)
     counts = tf.groupBy("_tok").agg(F.sum("_tf").alias("_c")).persist()
     if persisted is not None:
         persisted.append(counts)
