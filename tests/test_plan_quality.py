@@ -167,3 +167,34 @@ def test_top_ngrams_slim_exchange(spark):
     # find Exchange argument lists; none may hash-partition on raw gram text
     for args in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "gram#" not in args, plan
+
+
+def test_unigram_lm_head_join_broadcasts(spark):
+    """The LM score join's hot-vocabulary head must be a BroadcastHashJoin
+    (Zipf-mass tokens never shuffle keyed by token) and the tf frame must be
+    cached (the tokenize exchange feeds three consumers). The rare-tail join
+    MAY sort-merge — its per-token row count is bounded by the k-th head
+    count, so that shuffle is skew-free by construction — but the hot branch
+    must never appear under a token-keyed exchange."""
+    import re
+
+    from cqaduplicatefind_spark.operators.lm_quality import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(i, ("the quick brown fox jumps " * 3) + f"rare{i}") for i in range(60)],
+        "doc_id long, text string",
+    )
+    handles: list = []
+    plan = plan_of(unigram_logprob(docs, persisted=handles), "formatted")
+    assert "BroadcastHashJoin" in plan
+    assert "InMemoryTableScan" in plan
+    # exactly one join may key an exchange on the token column: the rare tail
+    # (head rows reach their join via broadcast, never a _tok shuffle)
+    tok_exchanges = [
+        args
+        for args in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+        if "_tok#" in args
+    ]
+    assert len(set(tok_exchanges)) <= 2, plan  # tail join: two sides max
+    for h in handles:
+        h.unpersist()
