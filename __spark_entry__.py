@@ -2200,7 +2200,20 @@ def q_stratified_sample_docs(spark, sf):
       WHERE round(coalesce(m2.f, 0.0), 6) <= 0.12
     ),
     surv AS (SELECT c.doc_id, c.source, c.text FROM clean c JOIN keep USING (doc_id)),
-    stoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM surv),
+    lmtk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM surv),
+    lmtf AS (SELECT doc_id, tok, count(*) AS tf FROM lmtk WHERE tok <> ''
+             GROUP BY doc_id, tok),
+    lmcnt AS (SELECT tok, sum(tf) AS c FROM lmtf GROUP BY tok),
+    lmtot AS (SELECT sum(c)::DOUBLE AS n, count(*)::DOUBLE AS v FROM lmcnt),
+    lmdoc AS (
+      SELECT doc_id,
+             round(sum(tf::DOUBLE * ln((c::DOUBLE + 0.5) / (n + 0.5 * v)))
+                   / sum(tf)::DOUBLE, 6) AS lp
+      FROM lmtf JOIN lmcnt USING (tok) CROSS JOIN lmtot GROUP BY doc_id
+    ),
+    surv2 AS (SELECT s.* FROM surv s JOIN lmdoc d USING (doc_id)
+              WHERE d.lp >= -3.42),
+    stoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM surv2),
     s AS (SELECT doc_id, t, unnest(range(len(t) - 14)) AS i
           FROM stoks WHERE len(t) >= 15),
     grams AS (SELECT doc_id, i,
@@ -2229,7 +2242,7 @@ def q_stratified_sample_docs(spark, sf):
       GROUP BY t.doc_id, len(t.t)
     )
     SELECT s.doc_id, s.source, c.clean_text, c.n_removed
-    FROM surv s JOIN cleaned c USING (doc_id)
+    FROM surv2 s JOIN cleaned c USING (doc_id)
     WHERE (CAST(substr(s.source, 4) AS INT) % 2 = 0)
        OR substr(md5('7:' || CAST(s.doc_id AS VARCHAR)), 1, 8) < '80000000'
     """,
@@ -2239,13 +2252,16 @@ def q_corpus_prep_end_to_end(spark, sf):
     runs after dedup, driving the round-3 tiers in pipeline order under ONE
     oracle: benchmark decontamination (13-gram overlap vs the held-out eval
     slice, Bloom-gated) -> Gopher repetition gate (rounded top-2-gram coverage
-    <= 0.12) -> exact duplicated-substring removal (15-token ownership rule,
-    computed among survivors) -> deterministic stratified sampling (odd
+    <= 0.12) -> unigram-LM quality gate (model fitted on the survivors,
+    lowest-probability tail dropped at avg_logprob < -3.42) -> exact
+    duplicated-substring removal (15-token ownership rule, computed among
+    survivors) -> deterministic stratified sampling (odd
     sources at 50%, even kept whole). Each tier is oracle-checked in
     isolation; this row pins their COMPOSITION (filter ordering, ownership
     recomputed on the filtered corpus, id/source handoffs) end to end."""
     from cqaduplicatefind_spark.operators.contamination import contaminated_docs
     from cqaduplicatefind_spark.operators.corpus_stats import stratified_sample
+    from cqaduplicatefind_spark.operators.lm_quality import unigram_logprob
     from cqaduplicatefind_spark.operators.repetition import repetition_features
     from cqaduplicatefind_spark.operators.span_removal import remove_duplicate_spans
 
@@ -2268,6 +2284,18 @@ def q_corpus_prep_end_to_end(spark, sf):
     # pass-through anti-join, the source join): persist the survivors once,
     # released on the next invocation alongside the removal checkpoint
     surv = clean.join(keep, "doc_id").persist()
+    _PREP_HANDLES.append(surv)
+    # LM-quality tier: fit the unigram model on the decontaminated,
+    # repetition-gated survivors, then drop the lowest-probability tail
+    # (avg_logprob < -3.42 ~ the gibberish analog, ~5% of this corpus) before
+    # substring removal — the filter reads the ROUNDED score, which both
+    # engines compute identically (proven by the standalone row's hash match)
+    lm = unigram_logprob(
+        surv.select("doc_id", "text"), id_col="doc_id", persisted=_PREP_HANDLES
+    )
+    surv = surv.join(
+        lm.where(F.col("avg_logprob") >= -3.42).select("doc_id"), "doc_id"
+    ).persist()
     _PREP_HANDLES.append(surv)
     cleaned = remove_duplicate_spans(
         surv.select("doc_id", "text"), min_span=15, id_col="doc_id",

@@ -275,6 +275,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "lang_id_histogram",
         "latest_event_per_user",
         "retrieval_metrics_p_at_k",
+        "unigram_logprob_quality",
     ]
     qs = entry_mod.queries()
     out = {}
