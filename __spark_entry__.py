@@ -2114,6 +2114,62 @@ def q_contamination_flags(spark, sf):
 
 
 @_register(
+    "fuzzy_contamination_flags",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    dg AS (
+      SELECT doc_id,
+        unnest(list_distinct(list_transform(range(1, len(t) - 11), i ->
+          array_to_string(t[i : i + 12], ' ')))) AS g
+      FROM toks WHERE len(t) >= 13
+    ),
+    na AS (SELECT doc_id, count(*) AS n FROM dg GROUP BY doc_id),
+    bg AS (SELECT doc_id AS bench_id, g FROM dg WHERE doc_id % 50 = 0),
+    nb AS (SELECT bench_id, count(*) AS n FROM bg GROUP BY bench_id),
+    sh AS (
+      SELECT d.doc_id, b.bench_id, count(*) AS s
+      FROM dg d JOIN bg b USING (g)
+      GROUP BY d.doc_id, b.bench_id
+    ),
+    p AS (
+      SELECT sh.doc_id, sh.bench_id,
+             sh.s::DOUBLE / (na.n + nb.n - sh.s) AS jac
+      FROM sh JOIN na USING (doc_id) JOIN nb USING (bench_id)
+    )
+    SELECT doc_id, count(*) AS n_matched_bench, round(max(jac), 6) AS max_jaccard
+    FROM p WHERE jac >= 0.5 GROUP BY doc_id
+    """,
+)
+def q_fuzzy_contamination_flags(spark, sf):
+    """Fuzzy decontamination (operators/contamination.py): flag training
+    documents whose distinct-13-gram Jaccard with ANY benchmark document is
+    >= 0.5 (every 50th document plays the benchmark, so bench members
+    self-match at 1.0 and their near-duplicate edits land between threshold
+    and 1) — the near-duplicate analog of `contamination_flags`, catching
+    lightly-edited eval copies the verbatim-gram test misses. EXACT, not LSH:
+    candidates are gram-sharing pairs against the count-gated BROADCAST bench
+    gram table (zero false negatives at any threshold with a shared gram),
+    per-doc distinct-gram counts come from one array_distinct projection on
+    the document's own row, and both engines compute the identical
+    shared/(na+nb-shared) double. Hash-matched against a DuckDB
+    list_distinct/unnest restatement. No reference analog (SURVEY §2)."""
+    from cqaduplicatefind_spark.operators.contamination import (
+        fuzzy_contaminated_docs,
+    )
+
+    docs = _read(spark, sf, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    out = fuzzy_contaminated_docs(
+        docs, bench, n=13, threshold=0.5, id_col="doc_id"
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_matched_bench",
+        F.round("max_jaccard", 6).alias("max_jaccard"),
+    )
+
+
+@_register(
     "top_ngrams_corpus",
     """
     WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),

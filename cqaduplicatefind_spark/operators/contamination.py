@@ -3,7 +3,9 @@ n-grams with an evaluation set (the GPT-3 appendix-C / PaLM-style overlap
 check every LLM training pipeline runs before ingest). A document is
 contaminated when any of its n-grams (default n=13, the GPT-3 choice)
 appears in the benchmark; the per-document hit count supports both hard
-drops and audit thresholds.
+drops and audit thresholds. ``fuzzy_contaminated_docs`` is the companion
+near-duplicate check: distinct-n-gram Jaccard vs any benchmark document,
+catching lightly-edited eval copies the verbatim test misses.
 
 The reference has no decontamination layer; this is a forward-path operator
 for the Common-Crawl-shaped input (BASELINE.json ``input_hint``), reusing
@@ -109,6 +111,106 @@ def _gram_hashes(df: DataFrame, text_col: str, n: int, *keep) -> DataFrame:
     return df.select(
         *keep, F.explode(_ngrams(toks, n)).alias("_g")
     ).select(*keep, F.xxhash64("_g").alias("_gh"))
+
+
+def fuzzy_contaminated_docs(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    threshold: float = 0.8,
+    id_col: str = "url",
+    text_col: str = "text",
+    bench_id_col: str | None = None,
+    bench_text_col: str = "text",
+    return_pairs: bool = False,
+) -> DataFrame:
+    """Fuzzy decontamination: flag training documents whose DISTINCT-n-gram
+    Jaccard similarity with ANY benchmark document is ``>= threshold`` — the
+    near-duplicate analog of the exact 13-gram check (``contaminated_docs``),
+    catching lightly-edited eval copies a verbatim-gram test misses.
+
+    Returns ``(id, n_matched_bench, max_jaccard)`` per flagged document, or
+    the audit pairs ``(id, bench_id, jaccard)`` with ``return_pairs=True``.
+    Documents shorter than ``n`` tokens have no grams and cannot match.
+
+    EXACT by construction, not LSH: a pair with Jaccard >= threshold shares at
+    least one gram, so candidates = "share >= 1 distinct gram hash with a
+    bench doc" has zero false negatives, and the Jaccard is computed from true
+    distinct-gram counts (no MinHash estimate). That is affordable precisely
+    because of this operator's asymmetry — eval suites are tiny next to the
+    corpus, so where self-dedup needs banding to avoid the quadratic
+    candidate blow-up, here the whole bench gram table broadcasts.
+
+    Scale shape (10^12 training docs vs a small eval set):
+
+    - per-document distinct grams and their count come from ONE projection on
+      the document's own row (``array_distinct`` before the explode) — no
+      exchange to deduplicate grams within a doc;
+    - the bench side keeps ``(bench_id, n_bench_grams, gram_hash)`` and is
+      count-gated broadcast (same gate as the exact tier); the corpus side
+      explodes map-side and probes the BroadcastHashJoin — the corpus never
+      shuffles for the join;
+    - the only exchanges are the per-(doc, bench_doc) shared-gram count —
+      bounded by the gram-sharing sliver, the same rows the exact tier
+      aggregates — and the final per-doc summary; both carry ids + counts,
+      never gram text;
+    - per-gram fan-out is bounded by the number of BENCH docs containing the
+      gram (13-grams are near-unique within a benchmark, so ~1); an
+      adversarial benchmark of repeated boilerplate inflates candidates but
+      never the corpus shuffle;
+    - gram identity is the 8-byte xxhash64 — a 2^-64 collision can only nudge
+      a count upward (over-flag), the same documented class as the exact tier.
+    """
+    bid = bench_id_col or id_col
+    bench_grams = (
+        benchmark.select(
+            F.col(bid).alias("bench_id"),
+            F.array_distinct(
+                _ngrams(F.split(F.col(bench_text_col), " "), n)
+            ).alias("_gs"),
+        )
+        .withColumn("_nb", F.size("_gs"))
+        .select("bench_id", "_nb", F.explode("_gs").alias("_g"))
+        .select("bench_id", "_nb", F.xxhash64("_g").alias("_gh"))
+    )
+    # count-gated broadcast, deliberately not persisted — same rationale as
+    # contaminated_docs: the bench side is small by contract and the gate's
+    # recompute is cheaper than a caller-managed cache lifecycle
+    n_bench_rows = bench_grams.count()
+    probe = (
+        F.broadcast(bench_grams)
+        if n_bench_rows <= BROADCAST_MAX_BENCH_GRAMS
+        else bench_grams
+    )
+    corpus_grams = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(_ngrams(F.split(F.col(text_col), " "), n)).alias("_gs"),
+        )
+        .withColumn("_na", F.size("_gs"))
+        .select("id", "_na", F.explode("_gs").alias("_g"))
+        .select("id", "_na", F.xxhash64("_g").alias("_gh"))
+    )
+    pairs = (
+        corpus_grams.join(probe, "_gh")
+        .groupBy("id", "bench_id")
+        .agg(
+            F.count(F.lit(1)).alias("_shared"),
+            F.first("_na").alias("_na"),
+            F.first("_nb").alias("_nb"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("_shared") / (F.col("_na") + F.col("_nb") - F.col("_shared")),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    if return_pairs:
+        return pairs.select("id", "bench_id", "jaccard")
+    return pairs.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_matched_bench"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
 
 
 def contaminated_docs(

@@ -117,3 +117,97 @@ def test_bloom_bitmap_matches_python_reference(spark):
     probes = rng.integers(-(2**62), 2**62, size=20000, dtype=np.int64)
     fresh = probes[~np.isin(probes, members)]
     assert contains(fresh).mean() < 0.03  # design FPR ~0.008 at 10 bits, k=7
+
+
+def test_fuzzy_hand_computed_jaccard(spark):
+    """Distinct-3-gram Jaccard against a tiny benchmark, checked by hand.
+    base: tokens a b c d e f -> 3-grams {abc, bcd, cde, def} (4 grams).
+    edit: a b c d e X -> {abc, bcd, cde, deX} -> shared 3, union 5 -> 0.6.
+    far:  shares one gram -> jaccard 1/7, below threshold."""
+    from cqaduplicatefind_spark.operators.contamination import (
+        fuzzy_contaminated_docs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("edit", "a b c d e X"),
+            ("far", "a b c p q r s t u v"),
+            ("clean", "m n o p q"),
+            ("short", "a b"),
+        ],
+        "url string, text string",
+    )
+    bench = spark.createDataFrame([("b1", "a b c d e f")], "url string, text string")
+    pairs = {
+        (r.id, r.bench_id): r.jaccard
+        for r in fuzzy_contaminated_docs(
+            docs, bench, n=3, threshold=0.5, return_pairs=True
+        ).collect()
+    }
+    assert set(pairs) == {("edit", "b1")}
+    assert abs(pairs[("edit", "b1")] - 0.6) < 1e-12
+
+    summary = fuzzy_contaminated_docs(docs, bench, n=3, threshold=0.5).collect()
+    assert [(r.id, r.n_matched_bench) for r in summary] == [("edit", 1)]
+    assert abs(summary[0].max_jaccard - 0.6) < 1e-12
+
+
+def test_fuzzy_self_match_and_multi_bench(spark):
+    """A doc identical to a bench doc scores 1.0; matching several bench docs
+    raises n_matched_bench and max_jaccard takes the best."""
+    from cqaduplicatefind_spark.operators.contamination import (
+        fuzzy_contaminated_docs,
+    )
+
+    text = " ".join(f"w{i}" for i in range(30))
+    near = " ".join(f"w{i}" for i in range(29)) + " z"
+    docs = spark.createDataFrame([("d", text)], "url string, text string")
+    bench = spark.createDataFrame(
+        [("b1", text), ("b2", near)], "url string, text string"
+    )
+    (row,) = fuzzy_contaminated_docs(docs, bench, n=13, threshold=0.3).collect()
+    assert row.n_matched_bench == 2
+    assert row.max_jaccard == 1.0
+
+
+def test_fuzzy_repeated_grams_use_distinct_sets(spark):
+    """Jaccard is over DISTINCT gram sets: within-doc gram multiplicity must
+    not change the score (doc repeats its grams, bench does not)."""
+    from cqaduplicatefind_spark.operators.contamination import (
+        fuzzy_contaminated_docs,
+    )
+
+    base = "a b c d e"
+    docs = spark.createDataFrame(
+        [("rep", f"{base} {base} {base}")], "url string, text string"
+    )
+    bench = spark.createDataFrame([("b1", base)], "url string, text string")
+    (row,) = fuzzy_contaminated_docs(
+        docs, bench, n=3, threshold=0.1, return_pairs=True
+    ).collect()
+    # rep's distinct 3-grams: {abc,bcd,cde, "e a"-spanning grams...}: tokens
+    # a b c d e a b c d e a b c d e -> 13 positions, distinct grams =
+    # {abc,bcd,cde,dea,eab} = 5; bench = {abc,bcd,cde} = 3; shared 3, union 5
+    assert abs(row.jaccard - 3 / 5) < 1e-12
+
+
+def test_fuzzy_probe_is_broadcast_and_python_free(spark):
+    """Same plan contract as the exact tier: the corpus probes a
+    BroadcastHashJoin (no corpus shuffle for the join), everything JVM-side;
+    the only exchanges are the pair count and the per-doc summary."""
+    from cqaduplicatefind_spark.operators.contamination import (
+        fuzzy_contaminated_docs,
+    )
+
+    docs = spark.range(300).select(
+        F.col("id").cast("string").alias("url"),
+        F.concat(F.lit("x y z " * 6), F.col("id").cast("string")).alias("text"),
+    )
+    bench = docs.limit(5)
+    plan = (
+        fuzzy_contaminated_docs(docs, bench, n=13)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
