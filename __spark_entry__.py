@@ -2223,6 +2223,87 @@ def q_stratified_sample_docs(spark, sf):
     )
 
 
+_N_TOKENS_SQL = (
+    "CAST(CASE WHEN length(text) = 0 THEN 0"
+    " ELSE len(string_split(text, ' ')) END AS BIGINT)"
+)
+
+
+@_register(
+    "shard_packing",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_N_TOKENS_SQL} AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(sum(n_tokens) OVER (
+               ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+      FROM t
+    )
+    SELECT doc_id, n_tokens, CAST(prior // 50000 AS INT) AS shard_id FROM c
+    """,
+)
+def q_shard_packing(spark, sf):
+    """Token-budget shard packing (operators/sharding.py): assign every doc to
+    a ~50k-token training shard via a DISTRIBUTED prefix sum — hash-bucketed
+    per-bucket windows + a 256-scalar driver offset fold, never one global
+    single-task ORDER BY window (plan shape pinned in tests/test_sharding.py).
+    The oracle restates the identical exclusive-cumsum/integer-division rule
+    with DuckDB's global window, which is exact at oracle scale."""
+    from cqaduplicatefind_spark.operators.sharding import pack_shards
+
+    docs = _read(spark, sf, "documents").select(
+        "doc_id",
+        F.when(F.length("text") == 0, F.lit(0))
+        .otherwise(F.size(F.split("text", " ")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return pack_shards(docs, budget=50_000)
+
+
+@_register(
+    "cap_per_host_topk",
+    f"""
+    WITH t AS (
+      SELECT doc_id, 'h' || CAST(doc_id % 23 AS VARCHAR) AS host,
+             {_N_TOKENS_SQL} AS n_tokens
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, host, n_tokens,
+             row_number() OVER (PARTITION BY host
+                                ORDER BY n_tokens DESC, doc_id) AS host_rank
+      FROM t
+    )
+    SELECT doc_id, host, n_tokens, host_rank FROM r WHERE host_rank <= 5
+    """,
+)
+def q_cap_per_host(spark, sf):
+    """Per-domain volume cap (operators/sharding.py): keep the top-5 docs per
+    host by (tokens desc, id asc) — C4/RefinedWeb-style domain capping. The
+    engine runs a salted two-phase top-K (a mega-host fans out over salt
+    sub-keys, each emitting ≤ k survivors, so no host routes more than
+    k·n_salts rows through one task); the oracle is the plain SQL window it
+    is provably equivalent to. Hosts synthesized as doc_id % 23 identically
+    in both engines."""
+    from cqaduplicatefind_spark.operators.sharding import cap_per_host
+
+    docs = _read(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(F.lit("h"), (F.col("doc_id") % 23).cast("string")).alias("host"),
+        F.when(F.length("text") == 0, F.lit(0))
+        .otherwise(F.size(F.split("text", " ")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return cap_per_host(docs, k=5).select("doc_id", "host", "n_tokens", "host_rank")
+
+
 @_register(
     "corpus_prep_end_to_end",
     """
