@@ -1985,6 +1985,85 @@ def q_line_dedup_docs(spark, sf):
     )
 
 
+# ---------- C4 rule-based cleaning (operators/c4_rules.py) ----------
+
+# deterministic pages exercising every C4 rule: a kept prose line, the word-
+# soup body promoted to a sentence, a no-punct line, a javascript line, and
+# three doc_id-keyed variants driving the lorem-ipsum page drop (%7), the
+# curly-brace page drop (%11), and the min-sentence gate (%3). Identical
+# construction restated in both engines.
+_C4_PAGE_SQL = (
+    "'This is a normal first sentence with plenty of words.'"
+    " || chr(10) || text || '.'"
+    " || chr(10) || 'short one'"
+    " || chr(10) || 'Please enable javascript to continue.'"
+    " || chr(10) || CASE WHEN doc_id % 7 = 0 THEN 'lorem ipsum dolor sit amet.'"
+    "               ELSE 'Another ordinary closing sentence stands here.' END"
+    " || chr(10) || CASE WHEN doc_id % 11 = 0 THEN 'code { nope }'"
+    "               ELSE 'A final sentence rounds the page out!' END"
+    " || chr(10) || CASE WHEN doc_id % 3 = 0 THEN 'Extra. More! Again?'"
+    "               ELSE 'no terminal punctuation filler line words' END"
+)
+
+
+@_register(
+    "c4_clean_docs",
+    f"""
+    WITH pages AS (SELECT doc_id, {_C4_PAGE_SQL} AS page FROM documents),
+    kept AS (
+      SELECT doc_id, page,
+        list_filter(
+          list_transform(string_split(page, chr(10)), l -> trim(l)),
+          l -> regexp_matches(l, '[.!?"]$')
+               AND len(list_filter(regexp_split_to_array(l, '\\s+'),
+                                   w -> w <> '')) >= 3
+               AND NOT contains(lower(l), 'javascript')
+        ) AS kl
+      FROM pages
+    )
+    SELECT doc_id, array_to_string(kl, chr(10)) AS text
+    FROM kept
+    WHERE NOT contains(page, '{{') AND NOT contains(page, '}}')
+      AND NOT contains(lower(page), 'lorem ipsum')
+      AND length(regexp_replace(array_to_string(kl, chr(10)),
+                                '[^.!?]', '', 'g')) >= 5
+    """,
+)
+def q_c4_clean_docs(spark, sf):
+    """C4-style rule cleaning (operators/c4_rules.py, Raffel et al. 2020
+    §2.2): keep terminal-punctuation lines with >= 3 words and no
+    'javascript', drop curly-brace / lorem-ipsum pages and pages with < 5
+    sentence marks after line cleaning — the cleaned corpus hash-matched
+    end-to-end against a DuckDB list-lambda restatement over identical
+    synthesized pages. The whole tier is ONE shuffle-free codegen projection
+    (plan pinned in tests/test_c4_rules.py) — it costs one scan at any
+    corpus size. No reference analog (single-paragraph forum questions,
+    SURVEY §2)."""
+    from cqaduplicatefind_spark.operators.c4_rules import c4_clean
+
+    docs = _read(spark, sf, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("This is a normal first sentence with plenty of words."),
+            F.concat(F.col("text"), F.lit(".")),
+            F.lit("short one"),
+            F.lit("Please enable javascript to continue."),
+            F.when(
+                F.col("doc_id") % 7 == 0, F.lit("lorem ipsum dolor sit amet.")
+            ).otherwise(F.lit("Another ordinary closing sentence stands here.")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit("code { nope }")).otherwise(
+                F.lit("A final sentence rounds the page out!")
+            ),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("Extra. More! Again?")).otherwise(
+                F.lit("no terminal punctuation filler line words")
+            ),
+        ).alias("text"),
+    )
+    return c4_clean(pages, id_col="doc_id", text_col="text", min_sentences=5)
+
+
 # ---------- intra-document repetition (operators/repetition.py) ----------
 
 @_register(
