@@ -180,10 +180,6 @@ def bench_pipeline(spark, sf_dir: str) -> dict[str, float]:
     # warm measurement said ~+8%). Median over iterations drops the case where
     # one leg of a pair straddles a throttle edge.
     deltas = sorted(s - n for n, s in zip(t_nospan, t_span))
-    mid = len(deltas) // 2
-    med_delta = (
-        deltas[mid] if len(deltas) % 2 else (deltas[mid - 1] + deltas[mid]) / 2
-    )
     # the paired full-run deltas estimate a ~1s quantity as the difference of
     # two ~14s runs, each with multi-second hypervisor-throttle noise — they
     # corroborate but do not converge at 4 pairs. span_stage_* is the DIRECT
@@ -200,9 +196,10 @@ def bench_pipeline(spark, sf_dir: str) -> dict[str, float]:
         m = len(s) // 2
         return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
 
+    med_delta = _median(deltas)
     med_nospan = _median(t_nospan)
     times["_span_overhead"] = {
-        "paired_deltas_sec": [round(d, 2) for d in sorted(s - n for n, s in zip(t_nospan, t_span))],
+        "paired_deltas_sec": [round(d, 2) for d in deltas],
         "median_delta_sec": round(med_delta, 2),
         "median_delta_pct": round(100.0 * med_delta / med_nospan, 1),
     }
@@ -276,6 +273,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "latest_event_per_user",
         "retrieval_metrics_p_at_k",
         "unigram_logprob_quality",
+        "c4_clean_docs",
     ]
     qs = entry_mod.queries()
     out = {}

@@ -297,7 +297,6 @@ def ivf_candidate_scores(
             sims = mat @ cent.T  # (rows, k)
             # nprobe nearest centroid ids per query, exploded to one row each
             top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
-            n = len(pdf)
             yield pd.DataFrame(
                 {
                     "cid": top.reshape(-1).astype(np.int32),

@@ -52,6 +52,11 @@ from cqaduplicatefind_spark.operators.repetition import _ngrams
 # probe falls back to a shuffle join
 BROADCAST_MAX_BENCH_GRAMS = 50_000_000
 
+# the fuzzy tier broadcasts (bench_id string, n_grams long, gram hash long)
+# rows — ~50 bytes each, not 8 — so its gate is row-width-adjusted to the
+# same ~400 MB budget; beyond it the probe falls back to a shuffle join
+BROADCAST_MAX_FUZZY_BENCH_ROWS = 8_000_000
+
 # bitmap cap: 200M grams at 10 bits/elem ~ 250 MB driver/broadcast footprint;
 # beyond that the Bloom gate is skipped (the shuffle-join fallback handles it)
 BLOOM_MAX_BENCH_GRAMS = 200_000_000
@@ -179,7 +184,7 @@ def fuzzy_contaminated_docs(
     n_bench_rows = bench_grams.count()
     probe = (
         F.broadcast(bench_grams)
-        if n_bench_rows <= BROADCAST_MAX_BENCH_GRAMS
+        if n_bench_rows <= BROADCAST_MAX_FUZZY_BENCH_ROWS
         else bench_grams
     )
     corpus_grams = (
@@ -223,6 +228,7 @@ def contaminated_docs(
     bloom_prefilter: bool = False,
     bloom_bits_per_elem: int = 10,
     bloom_k: int = 7,
+    persisted: list | None = None,
 ) -> DataFrame:
     """``(id, n_contaminated_grams)`` for every training document sharing at
     least one n-gram with the benchmark. See module docstring for semantics
@@ -243,7 +249,14 @@ def contaminated_docs(
     the binding constraint (the bitmap is ~6x smaller). When the raw set
     already broadcasts comfortably, leave the gate off. Benchmarks too big
     for even the bitmap (> BLOOM_MAX_BENCH_GRAMS) skip the gate rather than
-    OOM the driver."""
+    OOM the driver.
+
+    With the gate on, the Bloom bitmap rides a SparkContext broadcast that the
+    returned frame's plan needs until materialization, so it cannot be freed
+    here; pass ``persisted`` (a list) to receive the broadcast handle and call
+    ``.unpersist()`` once the output is materialized — otherwise it is
+    reclaimed only when the frame (and the UDF closure holding the handle) is
+    garbage-collected, which pins up to ~250 MB per call in a long session."""
     bench = _gram_hashes(benchmark, bench_text_col, n).distinct()
     # count-gated broadcast with shuffle fallback. The count gate runs the
     # benchmark-side distinct once and the join re-runs it — deliberately NOT
@@ -258,6 +271,8 @@ def contaminated_docs(
     if bloom_prefilter and 0 < n_bench <= BLOOM_MAX_BENCH_GRAMS:
         bitmap, m, k = build_gram_bloom(bench, n_bench, bloom_bits_per_elem, bloom_k)
         bc = docs.sparkSession.sparkContext.broadcast(bitmap.tobytes())
+        if persisted is not None:
+            persisted.append(bc)
 
         def gate(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             bm = np.frombuffer(bc.value, dtype=np.uint64)

@@ -92,8 +92,10 @@ def pack_shards(
     return (
         d.withColumn("_prior", prior)
         # integer division (not floor of a double quotient) so shard boundaries
-        # are exact at any corpus size — priors are nonnegative longs
-        .withColumn("shard_id", F.expr(f"CAST(_prior DIV {int(budget)} AS INT)"))
+        # are exact at any corpus size — priors are nonnegative longs, and the
+        # shard id stays BIGINT (10^12 docs / small budgets exceed INT32;
+        # under Spark 4's ANSI mode an INT cast would throw mid-job)
+        .withColumn("shard_id", F.expr(f"_prior DIV {int(budget)}"))
         .select(id_col, weight_col, "shard_id")
     )
 

@@ -130,7 +130,13 @@ class IncrementalDedup:
             parts = [p for p in parts if os.path.basename(p) != skip]
         if not parts:
             return None
-        return self.spark.read.parquet(*parts)
+        # mergeSchema: a store written before the src_batch row tag existed
+        # (or a mixed store upgraded mid-stream) must still read with the tag
+        # column present — schema inference from a single legacy footer would
+        # otherwise drop it (and the caller's filter would throw). Footer
+        # count is bounded by the tier compaction (~2*compact_every dirs), so
+        # merging schemas stays O(1) per trigger.
+        return self.spark.read.option("mergeSchema", "true").parquet(*parts)
 
     def _merge(self, root: str, sources: list[str], final: str) -> None:
         """Fold ``sources`` into ``final``, leaving the store a READABLE
@@ -195,9 +201,17 @@ class IncrementalDedup:
                 # exact replay exclusion by row tag (see _read_batches): rows
                 # this batch appended before a crash are not "index" even when
                 # a pre-crash compaction moved them into a tier the dir-name
-                # skip cannot see
+                # skip cannot see. Legacy stores predate the tag: a whole-store
+                # legacy read has no src_batch column at all (add it as null),
+                # and a mixed store reads legacy rows as null — either way an
+                # untagged row was written by a finished pre-upgrade batch, so
+                # it IS index (null must not compare-exclude, hence coalesce).
+                if "src_batch" not in idx_bands.columns:
+                    idx_bands = idx_bands.withColumn(
+                        "src_batch", F.lit(None).cast("long")
+                    )
                 idx_bands = idx_bands.where(
-                    F.col("src_batch") != int(batch_id)
+                    F.coalesce(F.col("src_batch"), F.lit(-1)) != int(batch_id)
                 ).drop("src_batch")
             if idx_bands is None:
                 all_bands = new_bands

@@ -255,6 +255,64 @@ def test_restart_replay_excludes_own_prior_append(spark, tmp_path):
     assert {(r.id_a, r.id_b) for r in d2.matches().collect()} == want
 
 
+def test_legacy_store_without_src_batch_tag(spark, tmp_path):
+    """Band stores written BEFORE the src_batch row tag existed (or mixed
+    stores upgraded mid-stream) must keep working: the index read merges
+    schemas so the tag column survives a legacy-footer inference pick, legacy
+    rows read the tag as null, and null-tagged rows are never replay-excluded
+    (`null != batch` would otherwise silently drop the whole pre-upgrade
+    index from pairing)."""
+    import os as _os
+    import shutil
+
+    from cqaduplicatefind_spark.functions.signatures import with_signatures
+    from cqaduplicatefind_spark.streaming.incremental import (
+        SIG_COLS,
+        IncrementalDedup,
+    )
+
+    cfg = DedupConfig(shingle_k=3, jaccard_threshold=0.7, shuffle_partitions=4)
+    dirs = (
+        str(tmp_path / "bands"), str(tmp_path / "sigs"),
+        str(tmp_path / "matches"),
+    )
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+
+    def sigs_for(i):
+        df = spark.createDataFrame(
+            [(f"fam{i}", base + f"tail{i}")], "url string, text string"
+        )
+        return with_signatures(
+            df.withColumn("norm_text", F.col("text")), cfg, "norm_text"
+        ).select(*SIG_COLS)
+
+    d1 = IncrementalDedup(spark, cfg, *dirs)
+    d1.process_batch(sigs_for(0), 0)
+    d1.process_batch(sigs_for(1), 1)
+    # strip the tag from batch 0's part: a pre-upgrade remnant in a mixed store
+    part = _os.path.join(dirs[0], "batch=0")
+    legacy = spark.read.parquet(part).drop("src_batch")
+    tmp_out = str(tmp_path / "legacy_rewrite")
+    legacy.write.parquet(tmp_out)
+    shutil.rmtree(part)
+    shutil.move(tmp_out, part)
+
+    # restart over the mixed store and stream a new family member: both the
+    # legacy (untagged) and tagged index rows must pair against it
+    d2 = IncrementalDedup(spark, cfg, *dirs)
+    d2.process_batch(sigs_for(2), 2)
+    got = {(r.id_a, r.id_b) for r in d2.matches().collect()}
+    assert {("fam0", "fam2"), ("fam1", "fam2")} <= got
+
+    # replay batch 1 on another restart: fam1's own tagged rows are excluded,
+    # the legacy null-tagged fam0 rows are NOT (they are real index)
+    d3 = IncrementalDedup(spark, cfg, *dirs)
+    d3.process_batch(sigs_for(1), 1)
+    # index as it stood before batch 1's replay: fam0 (legacy, null tag)
+    # plus fam2 (tagged 2) — fam1's own pre-crash rows excluded by tag
+    assert d3.batch_stats[0]["n_index_band_rows"] == 2 * cfg.bands
+
+
 def test_restart_replay_after_compaction_keeps_stat_exact(spark, tmp_path):
     """The nastier crash window: batch N's append was already COMPACTED into a
     tier (its ``batch=N`` dir no longer exists) before the checkpoint failed
