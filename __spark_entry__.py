@@ -2013,7 +2013,8 @@ _C4_PAGE_SQL = (
     kept AS (
       SELECT doc_id, page,
         list_filter(
-          list_transform(string_split(page, chr(10)), l -> trim(l)),
+          list_transform(string_split(page, chr(10)),
+                         l -> regexp_replace(l, '^\\s+|\\s+$', '', 'g')),
           l -> regexp_matches(l, '[.!?"]$')
                AND len(list_filter(regexp_split_to_array(l, '\\s+'),
                                    w -> w <> '')) >= 3
@@ -2096,7 +2097,7 @@ def q_c4_clean_docs(spark, sf):
       FROM g2 GROUP BY doc_id, g
     ),
     m2 AS (
-      SELECT doc_id, max(c) * 2.0 / any_value(nt) AS top_ngram_frac
+      SELECT doc_id, least(1.0, max(c) * 2.0 / any_value(nt)) AS top_ngram_frac
       FROM c2 GROUP BY doc_id
     ),
     g5 AS (
@@ -2343,7 +2344,7 @@ def q_shard_packing(spark, sf):
         .cast("long")
         .alias("n_tokens"),
     )
-    return pack_shards(docs, budget=50_000)
+    return pack_shards(docs, budget=50_000, persisted=_fresh_handles("shard"))
 
 
 @_register(
@@ -2411,7 +2412,7 @@ def q_cap_per_host(spark, sf):
              unnest(list_transform(range(1, nt), i -> t[i] || ' ' || t[i+1])) AS g
            FROM ktoks WHERE nt >= 2),
     c2 AS (SELECT doc_id, any_value(nt) AS nt, count(*) AS c FROM g2 GROUP BY doc_id, g),
-    m2 AS (SELECT doc_id, max(c) * 2.0 / any_value(nt) AS f FROM c2 GROUP BY doc_id),
+    m2 AS (SELECT doc_id, least(1.0, max(c) * 2.0 / any_value(nt)) AS f FROM c2 GROUP BY doc_id),
     keep AS (
       SELECT k.doc_id FROM ktoks k LEFT JOIN m2 USING (doc_id)
       WHERE round(coalesce(m2.f, 0.0), 6) <= 0.12

@@ -24,9 +24,11 @@ surviving line's text.
 Semantics (deterministic, oracle-restatable in ANSI-ish SQL — pinned by the
 hash-matched ``c4_clean_docs`` driver row):
 
-- a "line" is a ``\\n``-split segment, compared after ``trim`` (space-only
-  trim, identical in Spark and DuckDB); kept lines are emitted trimmed, in
-  original order, re-joined with ``\\n``;
+- a "line" is a ``\\n``-split segment, compared after trimming leading and
+  trailing WHITESPACE (``\\s`` — spaces, tabs, and the ``\\r`` a CRLF page
+  leaves on every line, which a space-only trim would let defeat the
+  terminal-punctuation rule); kept lines are emitted trimmed, in original
+  order, re-joined with ``\\n``;
 - a line is kept iff (a) its last character is one of ``. ! ? "`` (the C4
   terminal-punctuation rule), (b) it has >= ``min_words_per_line``
   whitespace-delimited words, and (c) it does not contain ``javascript``
@@ -76,7 +78,9 @@ def c4_page_stats(
     """
     t = F.col(text_col)
     lines = F.split(t, "\n")
-    trimmed = F.transform(lines, lambda x: F.trim(x))
+    trimmed = F.transform(
+        lines, lambda x: F.regexp_replace(x, r"^\s+|\s+$", "")
+    )
     kept = F.filter(
         trimmed, lambda x: c4_keep_line(x, min_words_per_line=min_words_per_line)
     )

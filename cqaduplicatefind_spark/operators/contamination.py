@@ -167,16 +167,25 @@ def fuzzy_contaminated_docs(
       a count upward (over-flag), the same documented class as the exact tier.
     """
     bid = bench_id_col or id_col
+    # bench-doc identity = (id, text), deduplicated: an eval set built by
+    # unioning files can repeat rows, and a repeated row would double-count
+    # every shared gram (jaccard = 2g/(na+nb-2g) can then exceed 1.0 and
+    # false-flag docs); two DIFFERENT texts under one id stay two bench docs
+    # (disambiguated by a text hash) so neither the shared-gram count nor
+    # _nb mixes their gram sets. The distinct is an exchange on the SMALL
+    # side only — the corpus still never shuffles for the join.
+    bench_docs = benchmark.select(
+        F.col(bid).alias("bench_id"), F.col(bench_text_col).alias("_bt")
+    ).distinct()
     bench_grams = (
-        benchmark.select(
-            F.col(bid).alias("bench_id"),
-            F.array_distinct(
-                _ngrams(F.split(F.col(bench_text_col), " "), n)
-            ).alias("_gs"),
+        bench_docs.select(
+            "bench_id",
+            F.xxhash64("_bt").alias("_bdoc"),
+            F.array_distinct(_ngrams(F.split(F.col("_bt"), " "), n)).alias("_gs"),
         )
         .withColumn("_nb", F.size("_gs"))
-        .select("bench_id", "_nb", F.explode("_gs").alias("_g"))
-        .select("bench_id", "_nb", F.xxhash64("_g").alias("_gh"))
+        .select("bench_id", "_bdoc", "_nb", F.explode("_gs").alias("_g"))
+        .select("bench_id", "_bdoc", "_nb", F.xxhash64("_g").alias("_gh"))
     )
     # count-gated broadcast, deliberately not persisted — same rationale as
     # contaminated_docs: the bench side is small by contract and the gate's
@@ -198,7 +207,7 @@ def fuzzy_contaminated_docs(
     )
     pairs = (
         corpus_grams.join(probe, "_gh")
-        .groupBy("id", "bench_id")
+        .groupBy("id", "bench_id", "_bdoc")
         .agg(
             F.count(F.lit(1)).alias("_shared"),
             F.first("_na").alias("_na"),
@@ -211,9 +220,13 @@ def fuzzy_contaminated_docs(
         .where(F.col("jaccard") >= threshold)
     )
     if return_pairs:
-        return pairs.select("id", "bench_id", "jaccard")
+        # one audit row per (doc, bench id); an id carrying several distinct
+        # texts reports its best-matching one
+        return pairs.groupBy("id", "bench_id").agg(
+            F.max("jaccard").alias("jaccard")
+        )
     return pairs.groupBy("id").agg(
-        F.count(F.lit(1)).alias("n_matched_bench"),
+        F.count_distinct("bench_id").alias("n_matched_bench"),
         F.max("jaccard").alias("max_jaccard"),
     )
 

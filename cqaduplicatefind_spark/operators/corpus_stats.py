@@ -101,5 +101,10 @@ def stratified_sample(
     joined = docs.join(F.broadcast(rt), strat_col, "left").withColumn(
         "_thr", F.coalesce(F.col("_thr"), F.lit(hex_thr(default_rate)))
     )
+    # NOTE: the decision is keyed on id alone (that is what makes samples
+    # reproducible and nested across rates); rows with a NULL id therefore
+    # share ONE key per corpus (concat_ws skips NULLs) and are kept or
+    # dropped together — assign real ids upstream if per-row independence
+    # matters for such rows.
     key = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
     return joined.where(F.substring(key, 1, 8) < F.col("_thr")).drop("_thr")

@@ -54,13 +54,18 @@ def _ngrams(toks: Column, n: int) -> Column:
 
 
 def dup_line_frac_expr(text_col: str) -> Column:
-    """1 − distinct/total over non-empty lines; 0 when no non-empty line."""
+    """1 − distinct/total over non-empty lines; 0 when no non-empty line
+    (including NULL text, where the split itself is NULL — the outer coalesce
+    keeps the documented every-row-defined contract)."""
     lines = F.filter(
         F.split(F.col(text_col), "\n"), lambda x: x != F.lit("")
     )
     n = F.size(lines)
-    return F.when(n == 0, F.lit(0.0)).otherwise(
-        1.0 - F.size(F.array_distinct(lines)) / n
+    return F.coalesce(
+        F.when(n == 0, F.lit(0.0)).otherwise(
+            1.0 - F.size(F.array_distinct(lines)) / n
+        ),
+        F.lit(0.0),
     )
 
 
@@ -86,7 +91,10 @@ def _gram_stat(
         .agg(F.first("_nt").alias("_nt"), F.count(F.lit(1)).alias("_c"))
     )
     if mode == "top":
-        frac = F.max("_c") * n / F.first("_nt")
+        # capped at 1 like dup mode: overlapping repeats ("a a a a", top gram
+        # "a a" occurring 3x in 4 tokens) would otherwise push the "fraction"
+        # past 1.0 and break callers normalizing on [0, 1]
+        frac = F.least(F.lit(1.0), F.max("_c") * n / F.first("_nt"))
     elif mode == "dup":
         frac = F.least(
             F.lit(1.0),

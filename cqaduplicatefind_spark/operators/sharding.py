@@ -36,6 +36,7 @@ def pack_shards(
     id_col: str = "doc_id",
     weight_col: str = "n_tokens",
     bucket_hex_len: int = 2,
+    persisted: list | None = None,
 ) -> DataFrame:
     """Pack documents into fixed-weight shards: shard_id = floor(P / budget)
     where P is the exclusive prefix sum of ``weight_col`` over the global
@@ -47,10 +48,20 @@ def pack_shards(
     chars of the order hash — buckets are CONTIGUOUS RANGES of the global
     order, so (bucket, hash, id) == (hash, id) — cumsum within each bucket in
     parallel, then add per-bucket offsets (16**bucket_hex_len scalar rows
-    folded on the driver and shipped back as a map literal). At 10^12 docs
-    raise ``bucket_hex_len`` so each bucket's window fits one task
+    folded on the driver and shipped back as a broadcast join: an O(1) hash
+    probe per row, where a 16^k-entry map literal would be a linear key scan
+    per row and, at 16^4, a codegen-budget hazard). At 10^12 docs raise
+    ``bucket_hex_len`` so each bucket's window fits one task
     (16**4 = 65 536 buckets ≈ 15 M rows/bucket; offsets stay a trivial
     driver fold).
+
+    The slim (id, weight, hash, bucket) projection feeds two consumers (the
+    offsets collect and the windowed plan), so it is persisted — pass
+    ``persisted`` (a list) to receive the cached frame for ``unpersist()``
+    once the output is materialized. Besides the double scan, the persist is
+    what makes the result well-defined over nondeterministic upstreams (a
+    sampled/limited input recomputed differently between the two jobs would
+    desynchronize the offsets from the windowed rows).
 
     Shard invariant: every shard except the last carries ``budget ± max(w)``
     tokens (a document is never split). Deterministic: independent of input
@@ -67,11 +78,15 @@ def pack_shards(
         F.col(weight_col).cast("long").alias(weight_col),
         h.alias("_h"),
         F.substring(h, 1, bucket_hex_len).alias("_b"),
-    )
+    ).persist()
+    if persisted is not None:
+        persisted.append(d)
 
-    # per-bucket totals -> exclusive offsets (16**k scalars; driver fold)
+    # per-bucket totals -> exclusive offsets (16**k scalars; driver fold).
+    # A bucket whose every weight is NULL sums to NULL -> contributes 0,
+    # matching the window sum (which also skips NULLs).
     sizes = {
-        r["_b"]: r["w"]
+        r["_b"]: r["w"] or 0
         for r in d.groupBy("_b").agg(F.sum(weight_col).alias("w")).collect()
     }
     hexd = "0123456789abcdef"
@@ -81,16 +96,19 @@ def pack_shards(
         offsets[b] = acc
         acc += sizes[b]
     assert all(len(b) == bucket_hex_len and all(c in hexd for c in b) for b in sizes)
-    off_map = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    off_df = docs.sparkSession.createDataFrame(
+        list(offsets.items()), "_b string, _off long"
+    )
 
     w = (
         Window.partitionBy("_b")
         .orderBy("_h", id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    prior = F.coalesce(F.sum(weight_col).over(w), F.lit(0)) + off_map[F.col("_b")]
+    prior = F.coalesce(F.sum(weight_col).over(w), F.lit(0)) + F.col("_off")
     return (
-        d.withColumn("_prior", prior)
+        d.join(F.broadcast(off_df), "_b")
+        .withColumn("_prior", prior)
         # integer division (not floor of a double quotient) so shard boundaries
         # are exact at any corpus size — priors are nonnegative longs, and the
         # shard id stays BIGINT (10^12 docs / small budgets exceed INT32;

@@ -36,6 +36,9 @@ DOCS = [
     ("d5", f"{SHORT}\n{NOPUNCT}"),
     # d6: leading/trailing spaces must be trimmed before testing + emitting
     ("d6", f"   {GOOD}   \n {GOOD2} \n{GOOD3}"),
+    # d7: CRLF page — every line carries a trailing \r, which must not
+    # defeat the terminal-punctuation rule (space-only trim would)
+    ("d7", f"{GOOD}\r\n{GOOD2}\r\n{GOOD3}\t\r"),
 ]
 
 
@@ -51,6 +54,7 @@ def test_clean_semantics(spark):
     assert "d4" not in out           # below the sentence gate
     assert "d5" not in out           # nothing survived line cleaning
     assert out["d6"] == f"{GOOD}\n{GOOD2}\n{GOOD3}"   # trimmed emission
+    assert out["d7"] == f"{GOOD}\n{GOOD2}\n{GOOD3}"   # CRLF page survives
 
 
 def test_page_stats_gates(spark):

@@ -191,10 +191,43 @@ def test_fuzzy_repeated_grams_use_distinct_sets(spark):
     assert abs(row.jaccard - 3 / 5) < 1e-12
 
 
+def test_fuzzy_duplicate_bench_rows_do_not_inflate_jaccard(spark):
+    """An eval set built by unioning files repeats rows; a repeated bench row
+    must not double-count shared grams (jaccard could then exceed 1.0 and
+    false-flag docs). Two DIFFERENT texts under one bench id stay two bench
+    docs — neither the shared count nor the gram-set size mixes them."""
+    from cqaduplicatefind_spark.operators.contamination import (
+        fuzzy_contaminated_docs,
+    )
+
+    docs = spark.createDataFrame([("edit", "a b c d e X")], "url string, text string")
+    bench = spark.createDataFrame(
+        [
+            ("b1", "a b c d e f"),
+            ("b1", "a b c d e f"),      # exact duplicate row: collapses
+            ("b2", "a b c d e f"),
+            ("b2", "m n o p q r s"),    # same id, different text: 2 bench docs
+        ],
+        "url string, text string",
+    )
+    pairs = {
+        (r.id, r.bench_id): r.jaccard
+        for r in fuzzy_contaminated_docs(
+            docs, bench, n=3, threshold=0.5, return_pairs=True
+        ).collect()
+    }
+    # shared 3 of union 5 against the f-text under BOTH ids; never > 0.6
+    assert set(pairs) == {("edit", "b1"), ("edit", "b2")}
+    assert all(abs(j - 0.6) < 1e-12 for j in pairs.values())
+    summary = fuzzy_contaminated_docs(docs, bench, n=3, threshold=0.5).collect()
+    assert [(r.id, r.n_matched_bench) for r in summary] == [("edit", 2)]
+
+
 def test_fuzzy_probe_is_broadcast_and_python_free(spark):
     """Same plan contract as the exact tier: the corpus probes a
     BroadcastHashJoin (no corpus shuffle for the join), everything JVM-side;
-    the only exchanges are the pair count and the per-doc summary."""
+    the exchanges are the pair count, the per-doc summary, and the bench-doc
+    dedup — the last on the SMALL side only."""
     from cqaduplicatefind_spark.operators.contamination import (
         fuzzy_contaminated_docs,
     )
@@ -209,5 +242,5 @@ def test_fuzzy_probe_is_broadcast_and_python_free(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
-    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("Exchange hashpartitioning") == 3
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -68,3 +68,27 @@ def test_gram_stat_plan_is_two_slim_exchanges(spark):
     assert "xxhash64" in plan
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_top_frac_capped_on_overlapping_repeats(spark):
+    """Overlapping repeats ("a a a a": top 2-gram "a a" occurs 3x in 4 tokens)
+    would push an uncapped 'fraction' to 1.5; both gram signals cap at 1."""
+    from cqaduplicatefind_spark.operators.repetition import repetition_features
+
+    docs = spark.createDataFrame([("x", "a a a a")], "url string, text string")
+    (row,) = repetition_features(docs, signals=("top",)).collect()
+    assert row.top_ngram_frac == 1.0
+
+
+def test_null_text_reports_zero_fractions(spark):
+    """NULL text must report 0 fractions like any no-content doc (under ANSI
+    mode size(split(NULL)) is NULL, which would otherwise leak through the
+    line-fraction guard as NULL and silently drop the row from <= filters)."""
+    from cqaduplicatefind_spark.operators.repetition import repetition_features
+
+    docs = spark.createDataFrame(
+        [("x", None), ("y", "ok line")], "url string, text string"
+    )
+    rows = {r.url: r for r in repetition_features(docs).collect()}
+    assert rows["x"].dup_line_frac == 0.0
+    assert rows["x"].top_ngram_frac == 0.0 and rows["x"].dup_ngram_frac == 0.0
