@@ -1451,6 +1451,113 @@ def q_streaming_incremental_edges(spark, sf):
     )
 
 
+# delta-dedup oracle split: docs with doc_id % 4 == 0 are the NEW increment,
+# the rest the already-indexed corpus — a predicate both engines state
+# identically (xxhash64 has no DuckDB twin)
+_DELTA_PRED_A = "CAST(id_a AS BIGINT) % 4 = 0"
+_DELTA_PRED_B = "CAST(id_b AS BIGINT) % 4 = 0"
+
+_DELTA_EDGES_SQL = f"""
+    WITH {_BRUTE_JACCARD_CTES}
+    SELECT id_a, id_b,
+           round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.7
+      AND ({_DELTA_PRED_A} OR {_DELTA_PRED_B})
+    """
+
+
+def _delta_oracle_run(spark, sf):
+    """Shared driver fixture for the delta rows: corpus = documents with
+    doc_id % 4 != 0 seeded WITHOUT pairing, increment = the rest deduped
+    against that index (same SQL-expressible config as the flagship oracle)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from cqaduplicatefind_spark.plans.delta import delta_dedup, seed_index
+
+    cfg = _edge_oracle_config()
+    docs = _read(spark, sf, "documents")
+    pages = docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        "text",
+        (F.col("doc_id") % 4 == 0).alias("_is_delta"),
+    )
+    work = os.path.join(tempfile.gettempdir(), f"delta_oracle_{os.getpid()}")
+    shutil.rmtree(work, ignore_errors=True)
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    seed_index(spark, pages.where(~F.col("_is_delta")), cfg, work)
+    return delta_dedup(
+        spark, pages.where(F.col("_is_delta")), cfg, work, batch_id=1
+    )
+
+
+@_register("delta_dedup_edges", _DELTA_EDGES_SQL)
+def q_delta_dedup_edges(spark, sf):
+    """Batch delta-dedup (plans/delta.py): the corpus partition is seeded into
+    the band/signature store WITHOUT self-pairing, the increment partition is
+    matched against it with per-increment work bounded by touched buckets, and
+    the emitted edge set must be EXACTLY the brute-force Jaccard >= 0.7 pairs
+    involving at least one increment doc — corpus-corpus pairs cannot form by
+    construction, and the oracle asserts none are missing either. The
+    monthly-recrawl capability analog of the reference's incremental builder
+    (/root/reference/src/archive/MyReader2.py:16,41-42)."""
+    res = _delta_oracle_run(spark, sf)
+    return res.edges.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+@_register(
+    "delta_dedup_survivors",
+    f"""
+    WITH RECURSIVE {_BRUTE_JACCARD_CTES},
+    delta_edges AS (
+      SELECT id_a, id_b
+      FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+      WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.7
+        AND ({_DELTA_PRED_A} OR {_DELTA_PRED_B})
+    ),
+    sym AS (
+      SELECT id_a AS a, id_b AS b FROM delta_edges
+      UNION ALL
+      SELECT id_b AS a, id_a AS b FROM delta_edges
+    ),
+    reach(u, m) AS (
+      SELECT doc_id, doc_id FROM toks
+      UNION
+      SELECT r.u, s2.b FROM reach r JOIN sym s2 ON s2.a = r.m
+    ),
+    comp AS (SELECT u, min(m) AS c FROM reach GROUP BY u),
+    verdict AS (
+      SELECT c,
+             min(CASE WHEN CAST(u AS BIGINT) % 4 = 0 THEN u END) AS keep_new,
+             max(CASE WHEN CAST(u AS BIGINT) % 4 = 0 THEN 0 ELSE 1 END)
+               AS has_old
+      FROM comp GROUP BY c
+    )
+    SELECT u AS url
+    FROM comp JOIN verdict USING (c)
+    WHERE CAST(u AS BIGINT) % 4 = 0 AND has_old = 0 AND u = keep_new
+    """,
+)
+def q_delta_dedup_survivors(spark, sf):
+    """The delta run's SURVIVING increment docs under the cluster-consistent
+    rule (components over the increment's accepted edges; any component
+    touching a corpus doc drops all its increment members, a new-only
+    component keeps its min-id member, untouched docs survive), hash-matched
+    against a DuckDB recursive-CTE transitive closure restricted to
+    increment-involving edges."""
+    res = _delta_oracle_run(spark, sf)
+    return res.surviving_new
+
+
 @_register(
     "streaming_first_seen_docs",
     """
