@@ -6,15 +6,32 @@ deduplicated, so ``seed_index`` only builds the band/signature store from it —
 one signature scan plus two parquet writes, never a self-join (and zero corpus
 work when the store already exists from a previous increment or a streaming
 run). Each increment then pays pairing work bounded by the LSH buckets it
-actually touches (``IncrementalDedup``'s touched-bucket semi-join), never
-O(corpus): at 10^12 indexed docs a 10^9-doc monthly increment shuffles ~its own
-band rows plus the index rows sharing its buckets.
+actually touches (``IncrementalDedup``'s touched-bucket semi-join — broadcast
+while the increment's distinct key set fits ``broadcast_touched_max``, plain
+shuffle semi-join beyond that, where an increment touching most buckets makes
+the wide join the right plan anyway), never O(corpus). The per-increment
+O(index) stats recovery count the streaming path pays once per stream is
+skipped here (``count_index_stats=False`` — a fresh processor per increment
+would otherwise re-pay it every month).
 
 The store layout (``bands/`` ``sigs/`` ``matches/`` under one work dir, tiered
 compaction, ``src_batch`` row tags) is shared with the streaming matcher, so
 batch increments, streaming micro-batches, and this API interoperate on ONE
-index: seed once, then apply increments from either mode with disjoint batch
-ids.
+index. Batch-id convention: seeds take NEGATIVE ids (default -1 — Structured
+Streaming numbers its micro-batches from 0, so a non-negative seed id would be
+silently excluded-then-OVERWRITTEN by the colliding micro-batch); increments
+and micro-batches take disjoint non-negative ids.
+
+Identity precondition: increment ids must be NEW ids. Recrawls of an already
+indexed url are the URL tier's job (``canonical_url`` +
+``latest_capture_per_url`` run BEFORE content dedup) — the pairing kernel
+drops self-pairs on id, so an increment re-using an indexed id would neither
+match its own older version nor replace its stored payload. The index holds
+every doc it has SEEN, including increment docs the survivor rule dropped —
+deliberate: a later doc may exceed threshold only against the dropped copy
+(Jaccard is not transitive), so indexing survivors-only would lose recall.
+Consequently an edge endpoint is not necessarily a surviving corpus member;
+resolve representatives through the survivor rule, not the raw edge list.
 
 Survivor semantics (cluster-consistent — the flagship's transitive-closure rule
 scoped to the increment): connected components over the increment's accepted
@@ -47,21 +64,18 @@ from cqaduplicatefind_spark.streaming.incremental import (
     IncrementalDedup,
 )
 
-_EMPTY_EDGES_SCHEMA = (
-    "id_a string, id_b string, jaccard double, est_jaccard double, "
-    "hamming int, containment double"
-)
-
 
 class DeltaResult(NamedTuple):
     """Output of one increment: ``edges`` are the accepted duplicate pairs
     involving at least one increment doc (intra-increment and
-    increment-vs-corpus; corpus-corpus pairs cannot form — the corpus was
-    never paired); ``surviving_new`` (one ``url`` column) are the increment
-    docs that enter the corpus under the cluster-consistent rule;``stats`` is
-    the increment's ``IncrementalDedup`` batch-stats row (index rows joined,
-    candidates, payload rows fetched — the per-increment work bound
-    evidence)."""
+    increment-vs-index; index-index pairs cannot form — the corpus was never
+    paired). An edge endpoint may be an earlier increment's DROPPED doc (see
+    the module docstring's identity contract). ``surviving_new`` (one ``url``
+    column) are the increment docs that enter the corpus under the
+    cluster-consistent rule; ``stats`` is the increment's ``IncrementalDedup``
+    batch-stats row (index rows joined, candidates, payload rows fetched — the
+    per-increment work bound evidence; ``n_index_band_rows`` is None unless
+    ``index_stats=True`` paid the O(index) recovery count)."""
 
     edges: DataFrame
     surviving_new: DataFrame
@@ -107,22 +121,31 @@ def seed_index(
     corpus_pages: DataFrame,
     cfg: DedupConfig,
     work_dir: str,
-    batch_id: int = 0,
+    batch_id: int = -1,
     id_col: str = "url",
     text_col: str = "text",
 ) -> int:
     """Build the band + signature store from an already-deduplicated corpus
     WITHOUT pairing it. Idempotent per ``batch_id`` (overwrite-by-subdir, the
-    same exactly-once discipline as the streaming path). Returns the number of
-    corpus docs indexed. Cost: one signature pass over the corpus and two
-    parquet writes — no shuffle wider than the writes themselves."""
+    same exactly-once discipline as the streaming path); seed ids must be
+    NEGATIVE so they can never collide with an increment or micro-batch id
+    (Structured Streaming numbers from 0 and would exclude-then-overwrite a
+    colliding seed). Returns the number of corpus docs indexed. Cost: one
+    signature pass over the corpus and two parquet writes — no shuffle wider
+    than the writes themselves."""
+    batch_id = int(batch_id)
+    if batch_id >= 0:
+        raise ValueError(
+            f"seed batch_id must be negative (got {batch_id}); non-negative "
+            "ids are reserved for increments and streaming micro-batches"
+        )
     bands_dir, sigs_dir, matches_dir = _store_dirs(work_dir)
     for d in (bands_dir, sigs_dir, matches_dir):
         os.makedirs(d, exist_ok=True)
     sig = signature_frame(corpus_pages, cfg, id_col, text_col).persist()
     try:
         explode_bands(sig, cfg).withColumn(
-            "src_batch", F.lit(int(batch_id)).cast("long")
+            "src_batch", F.lit(batch_id).cast("long")
         ).write.mode("overwrite").parquet(
             os.path.join(bands_dir, f"batch={batch_id}")
         )
@@ -176,23 +199,34 @@ def delta_dedup(
     id_col: str = "url",
     text_col: str = "text",
     compact_every: int = 16,
+    index_stats: bool = False,
 ) -> DeltaResult:
     """Dedup one increment against the store under ``work_dir`` (seeded by
     ``seed_index`` and/or grown by previous increments / streaming batches),
     then append the increment's own bands + signatures so the NEXT increment
-    sees it as corpus. ``batch_id`` must be unique per increment (replays of
-    the same id are idempotent — they overwrite their own subdirs)."""
+    sees it as index. ``batch_id`` must be a unique non-negative int per
+    increment, disjoint from any streaming micro-batch ids sharing the store
+    (replays of the same id are idempotent — they overwrite their own
+    subdirs). ``index_stats=True`` additionally reports the logical index
+    size in ``stats`` at the cost of an O(index) count — off by default so a
+    processor-per-increment never scales with the corpus."""
+    batch_id = int(batch_id)
+    if batch_id < 0:
+        raise ValueError(
+            f"increment batch_id must be non-negative (got {batch_id}); "
+            "negative ids are reserved for seeds"
+        )
     bands_dir, sigs_dir, matches_dir = _store_dirs(work_dir)
     dedup = IncrementalDedup(
-        spark, cfg, bands_dir, sigs_dir, matches_dir, compact_every=compact_every
+        spark, cfg, bands_dir, sigs_dir, matches_dir,
+        compact_every=compact_every,
+        count_index_stats=index_stats,
     )
     sig = signature_frame(new_pages, cfg, id_col, text_col)
-    dedup.process_batch(sig, int(batch_id))
-    match_dir = os.path.join(matches_dir, f"batch={batch_id}")
-    try:
-        edges = spark.read.parquet(match_dir)
-    except Exception:
-        edges = spark.createDataFrame([], _EMPTY_EDGES_SCHEMA)
+    dedup.process_batch(sig, batch_id)
+    # process_batch writes matches/batch=<id> unconditionally (empty frames
+    # included), so a read failure here is a real failure — let it propagate
+    edges = spark.read.parquet(os.path.join(matches_dir, f"batch={batch_id}"))
     ids = new_pages.select(F.col(id_col).cast("string").alias("url")).distinct()
     return DeltaResult(
         edges=edges,

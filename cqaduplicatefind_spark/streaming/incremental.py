@@ -60,6 +60,13 @@ from cqaduplicatefind_spark.operators.verify import accept_edges, score_pairs
 
 SIG_COLS = ("url", "minhash", "simhash", "n_tokens", "n_shingles", "shingles")
 
+# accept_edges output schema — the empty-matches frame and any caller
+# synthesizing an edge frame must stay in lockstep with score_pairs/accept_edges
+EDGE_SCHEMA = (
+    "id_a string, id_b string, jaccard double, est_jaccard double, "
+    "hamming int, containment double"
+)
+
 
 def stream_signatures(pages_stream: DataFrame, cfg: DedupConfig) -> DataFrame:
     """Streaming pages(url, text, ...) -> streaming signatures. Stateless."""
@@ -83,13 +90,28 @@ class IncrementalDedup:
 
     def __init__(self, spark: SparkSession, cfg: DedupConfig,
                  bands_dir: str, sigs_dir: str, matches_dir: str,
-                 compact_every: int = 16) -> None:
+                 compact_every: int = 16,
+                 count_index_stats: bool = True,
+                 broadcast_touched_max: int = 4_000_000) -> None:
         self.spark = spark
         self.cfg = cfg
         self.bands_dir = bands_dir
         self.sigs_dir = sigs_dir
         self.matches_dir = matches_dir
         self.compact_every = compact_every
+        # count_index_stats=False skips the one-time logical index count a
+        # fresh processor over an existing store would otherwise pay (a
+        # dropDuplicates+count shuffle over the WHOLE band store — fine once
+        # per long-running stream, O(index) PER INCREMENT for the batch
+        # delta path, which constructs a processor per call); stats then
+        # report n_index_band_rows=None. broadcast_touched_max bounds the
+        # touched-(band,bh)-key broadcast: a streaming micro-batch's key set
+        # is tiny, but a huge batch increment (10^9 docs x bands keys) must
+        # fall back to a plain shuffle semi-join instead of OOMing the
+        # driver — at that size the increment touches most buckets anyway,
+        # so the wide join is the right plan, not a regression.
+        self.count_index_stats = count_index_stats
+        self.broadcast_touched_max = broadcast_touched_max
         self.batch_stats: list[dict] = []
         # logical band-index size, maintained arithmetically so the per-batch
         # stats never pay an O(index) count scan (the same per-trigger scale
@@ -219,7 +241,7 @@ class IncrementalDedup:
                 n_idx_joined = 0
                 self._band_rows_base = 0
             else:
-                if self._band_rows_base is None:
+                if self._band_rows_base is None and self.count_index_stats:
                     # restart over an existing store: one-time recovery count;
                     # every later batch maintains the total arithmetically.
                     # idx_bands already excludes the replaying batch's own
@@ -235,16 +257,26 @@ class IncrementalDedup:
                 # rows whose (band, bh) bucket also contains a new row can ever
                 # pair (every pair must involve a new doc), so the pairing
                 # kernel's windows + self-join never shuffle the rest of the
-                # index. The touched-key set is O(batch x bands) — broadcast.
-                touched = new_bands.select("band", "bh").distinct()
+                # index. The touched-key set is O(batch x bands) — broadcast
+                # when it fits (the streaming case), plain shuffle semi-join
+                # when a huge batch increment exceeds broadcast_touched_max
+                # (such an increment touches most buckets anyway, so the wide
+                # join is the right plan there)
+                touched = new_bands.select("band", "bh").distinct().persist()
+                probe = (
+                    F.broadcast(touched)
+                    if touched.count() <= self.broadcast_touched_max
+                    else touched
+                )
                 idx_touched = (
-                    idx_bands.join(F.broadcast(touched), ["band", "bh"], "left_semi")
+                    idx_bands.join(probe, ["band", "bh"], "left_semi")
                     # tolerate duplicate rows from a crash-interrupted
                     # compaction; cost bounded by touched rows, not the index
                     .dropDuplicates(["id", "band", "bh"])
                     .persist()
                 )
                 n_idx_joined = idx_touched.count()
+                touched.unpersist()
                 all_bands = idx_touched.withColumn(
                     "is_new", F.lit(False)
                 ).unionByName(new_bands)
@@ -305,10 +337,16 @@ class IncrementalDedup:
                     "n_new_docs": batch_df.count(),
                     # logical index size BEFORE this batch, from the running
                     # total (a replayed batch's own prior append is excluded —
-                    # its overwrite replaces those rows, they are not "index")
-                    "n_index_band_rows": self._band_rows_base + sum(
-                        v for b, v in self._band_rows_by_batch.items()
-                        if b != int(batch_id)
+                    # its overwrite replaces those rows, they are not "index");
+                    # None when count_index_stats=False skipped the recovery
+                    # count (the batch delta path)
+                    "n_index_band_rows": (
+                        None
+                        if self._band_rows_base is None
+                        else self._band_rows_base + sum(
+                            v for b, v in self._band_rows_by_batch.items()
+                            if b != int(batch_id)
+                        )
                     ),
                     # band rows that actually entered the pairing kernel —
                     # O(touched buckets), the per-batch work bound
@@ -343,10 +381,7 @@ class IncrementalDedup:
     def matches(self) -> DataFrame:
         m = self._read_batches(self.matches_dir)
         if m is None:
-            return self.spark.createDataFrame(
-                [], "id_a string, id_b string, jaccard double, est_jaccard double, "
-                    "hamming int, containment double"
-            )
+            return self.spark.createDataFrame([], EDGE_SCHEMA)
         return m
 
 

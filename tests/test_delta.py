@@ -64,7 +64,7 @@ def test_delta_edges_and_survivors(spark, tmp_path):
     n = seed_index(spark, corpus, CFG, work)
     assert n == 3
 
-    res = delta_dedup(spark, delta, CFG, work, batch_id=1)
+    res = delta_dedup(spark, delta, CFG, work, batch_id=1, index_stats=True)
     pairs = {
         tuple(sorted((r.id_a, r.id_b))) for r in res.edges.collect()
     }
@@ -80,6 +80,24 @@ def test_delta_edges_and_survivors(spark, tmp_path):
     # per-increment work bound evidence rides along
     assert res.stats["n_new_docs"] == 6  # n7 has no shingles
     assert res.stats["n_index_band_rows_joined"] <= res.stats["n_index_band_rows"]
+
+
+def test_batch_id_convention_enforced(spark, tmp_path):
+    """Seeds must be negative (streaming numbers micro-batches from 0 — a
+    colliding seed id would be excluded then overwritten); increments must be
+    non-negative; by default the work-bound stats skip the O(index) count."""
+    work = str(tmp_path / "store")
+    pages = _pages(spark, [("c1", BASE)])
+    with pytest.raises(ValueError, match="negative"):
+        seed_index(spark, pages, CFG, work, batch_id=0)
+    seed_index(spark, pages, CFG, work)  # default -1
+    with pytest.raises(ValueError, match="non-negative"):
+        delta_dedup(spark, pages, CFG, work, batch_id=-2)
+    res = delta_dedup(
+        spark, _pages(spark, [("n1", OTHER)]), CFG, work, batch_id=0
+    )
+    assert res.stats["n_index_band_rows"] is None  # no O(index) count paid
+    assert {r.url for r in res.surviving_new.collect()} == {"n1"}
 
 
 def test_seed_never_pairs_corpus(spark, tmp_path):
@@ -99,17 +117,24 @@ def test_seed_never_pairs_corpus(spark, tmp_path):
 
 
 def test_successive_increments_share_the_store(spark, tmp_path):
-    """An increment's survivors are corpus for the NEXT increment: a batch-2
-    doc duplicating a batch-1 doc is caught and dropped."""
+    """Every doc an increment SEES becomes index for the NEXT increment —
+    survivors and dropped duplicates alike (recall-preserving: Jaccard is not
+    transitive, so a later doc may clear threshold only against the dropped
+    copy): a batch-2 doc duplicating a batch-1 doc is caught and dropped, and
+    a batch-2 doc matching only a DROPPED batch-1 doc still drops."""
     work = str(tmp_path / "store")
     seed_index(spark, _pages(spark, [("c1", BASE)]), CFG, work)
 
-    r1 = delta_dedup(spark, _pages(spark, [("m1", OTHER)]), CFG, work, batch_id=1)
-    assert {r.url for r in r1.surviving_new.collect()} == {"m1"}
+    r1 = delta_dedup(
+        spark, _pages(spark, [("m1", OTHER), ("m2", OTHER)]), CFG, work,
+        batch_id=1,
+    )
+    assert {r.url for r in r1.surviving_new.collect()} == {"m1"}  # m2 dropped
 
     r2 = delta_dedup(spark, _pages(spark, [("p1", OTHER)]), CFG, work, batch_id=2)
     pairs = {tuple(sorted((r.id_a, r.id_b))) for r in r2.edges.collect()}
-    assert pairs == {("m1", "p1")}
+    # p1 pairs against BOTH stored copies, the dropped m2 included
+    assert pairs == {("m1", "p1"), ("m2", "p1")}
     assert r2.surviving_new.count() == 0
 
 

@@ -65,6 +65,38 @@ def test_incremental_dedup_file_source(spark, tmp_path):
     assert {(r.id_a, r.id_b) for r in d3.matches().collect()} == got2
 
 
+def test_touched_bucket_gate_shuffle_fallback(spark, tmp_path):
+    """With broadcast_touched_max=0 the touched-key probe falls back to a plain
+    shuffle semi-join (the huge-increment path that must not OOM the driver by
+    broadcasting O(batch x bands) keys) and produces IDENTICAL matches."""
+    from cqaduplicatefind_spark.streaming.incremental import IncrementalDedup
+    from cqaduplicatefind_spark.plans.delta import signature_frame
+
+    cfg = DedupConfig(shingle_k=3, jaccard_threshold=0.7, shuffle_partitions=4)
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    b1 = spark.createDataFrame(
+        [("u0", base + "t0"), ("v0", "other words entirely " * 8)],
+        "url string, text string",
+    )
+    b2 = spark.createDataFrame(
+        [("u9", base + "t0")], "url string, text string"
+    )
+
+    def run(max_bc):
+        work = str(tmp_path / f"w{max_bc}")
+        d = IncrementalDedup(
+            spark, cfg,
+            os.path.join(work, "bands"), os.path.join(work, "sigs"),
+            os.path.join(work, "matches"),
+            broadcast_touched_max=max_bc,
+        )
+        d.process_batch(signature_frame(b1, cfg), 0)
+        d.process_batch(signature_frame(b2, cfg), 1)
+        return {(r.id_a, r.id_b) for r in d.matches().collect()}
+
+    assert run(0) == run(4_000_000) == {("u0", "u9")}
+
+
 def test_per_batch_work_bounded_by_touched_buckets(spark, tmp_path):
     """K batches, each adding ONE member of a duplicate family plus several
     unrelated docs. The accumulated index grows linearly, but the band rows that
