@@ -48,7 +48,6 @@ re-paired at all.
 from __future__ import annotations
 
 import os
-from typing import NamedTuple
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -65,21 +64,32 @@ from cqaduplicatefind_spark.streaming.incremental import (
 )
 
 
-class DeltaResult(NamedTuple):
+class DeltaResult:
     """Output of one increment: ``edges`` are the accepted duplicate pairs
     involving at least one increment doc (intra-increment and
     increment-vs-index; index-index pairs cannot form — the corpus was never
     paired). An edge endpoint may be an earlier increment's DROPPED doc (see
     the module docstring's identity contract). ``surviving_new`` (one ``url``
     column) are the increment docs that enter the corpus under the
-    cluster-consistent rule; ``stats`` is the increment's ``IncrementalDedup``
-    batch-stats row (index rows joined, candidates, payload rows fetched — the
-    per-increment work bound evidence; ``n_index_band_rows`` is None unless
-    ``index_stats=True`` paid the O(index) recovery count)."""
+    cluster-consistent rule — computed LAZILY on first access, because the
+    component resolution runs eager Spark jobs (checkpoint + fixed-point
+    probes) an edges-only consumer should never pay. ``stats`` is the
+    increment's ``IncrementalDedup`` batch-stats row (index rows joined,
+    candidates, payload rows fetched — the per-increment work bound evidence;
+    ``n_index_band_rows`` is None unless ``index_stats=True`` paid the
+    O(index) recovery count)."""
 
-    edges: DataFrame
-    surviving_new: DataFrame
-    stats: dict
+    def __init__(self, edges: DataFrame, new_ids: DataFrame, stats: dict):
+        self.edges = edges
+        self.stats = stats
+        self._new_ids = new_ids
+        self._surviving: DataFrame | None = None
+
+    @property
+    def surviving_new(self) -> DataFrame:
+        if self._surviving is None:
+            self._surviving = surviving_new(self.edges, self._new_ids)
+        return self._surviving
 
 
 def _store_dirs(work_dir: str) -> tuple[str, str, str]:
@@ -228,8 +238,4 @@ def delta_dedup(
     # included), so a read failure here is a real failure — let it propagate
     edges = spark.read.parquet(os.path.join(matches_dir, f"batch={batch_id}"))
     ids = new_pages.select(F.col(id_col).cast("string").alias("url")).distinct()
-    return DeltaResult(
-        edges=edges,
-        surviving_new=surviving_new(edges, ids),
-        stats=dedup.batch_stats[-1],
-    )
+    return DeltaResult(edges=edges, new_ids=ids, stats=dedup.batch_stats[-1])
