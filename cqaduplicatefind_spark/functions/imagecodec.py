@@ -20,6 +20,11 @@ import numpy as np
 
 PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
+# Upper bound on h*(stride+1) a PNG may claim before decode refuses — untrusted
+# crawl bytes must not be able to OOM an executor with a lying IHDR (the
+# allocation happens BEFORE any pixel is checked). 256 MiB ≈ a 9000x9000 RGB.
+MAX_DECODED_BYTES = 256 * 1024 * 1024
+
 
 # --------------------------------------------------------------------------
 # PPM / PGM (netpbm binary): the simplest real raster format
@@ -46,17 +51,23 @@ def decode_ppm(payload: bytes) -> np.ndarray:
             j += 1
         tokens.append(int(payload[i:j]))
         i = j
-    i += 1  # the single whitespace after maxval
+    sep = payload[i : i + 1]
+    if not sep.isspace():
+        raise ValueError("netpbm maxval not followed by whitespace")
+    i += 1  # exactly ONE whitespace byte after maxval (netpbm spec) — except
+    # that a Windows-style writer's '\r\n' counts as ONE line ending; any
+    # other whitespace-valued byte is pixel data (9/10/13/32 are all legal
+    # pixel values, so a skip-surplus-whitespace heuristic would corrupt a
+    # raster whose first pixel is whitespace-valued when trailing bytes follow)
+    if sep == b"\r" and payload[i : i + 1] == b"\n":
+        i += 1
     w, h, maxval = tokens
+    if w <= 0 or h <= 0:
+        raise ValueError(f"invalid netpbm dimensions {w}x{h}")
     if maxval != 255:
         raise ValueError(f"only maxval=255 supported, got {maxval}")
     channels = 3 if payload[:2] == b"P6" else 1
     n = w * h * channels
-    # tolerate CRLF (or extra whitespace) after maxval — some writers emit
-    # '255\r\n'. Only SURPLUS bytes are consumed: pixel data may legitimately
-    # start with a whitespace-valued byte, so never eat into the final n bytes.
-    while len(payload) - i > n and payload[i : i + 1].isspace():
-        i += 1
     if len(payload) - i < n:
         raise ValueError("truncated netpbm payload")
     arr = np.frombuffer(payload, dtype=np.uint8, count=n, offset=i).reshape(
@@ -156,9 +167,24 @@ def decode_png(payload: bytes) -> np.ndarray:
             idat.extend(data)
     if w is None:
         raise ValueError("PNG missing IHDR")
+    if w <= 0 or h <= 0:
+        raise ValueError(f"invalid PNG dimensions {w}x{h}")
     stride = w * channels
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    if raw.size != h * (stride + 1):
+    expected = h * (stride + 1)
+    if expected > MAX_DECODED_BYTES:
+        raise ValueError(
+            f"PNG header claims {expected} decoded bytes "
+            f"(> MAX_DECODED_BYTES={MAX_DECODED_BYTES})"
+        )
+    # bound the inflate to the size IHDR promises: a decompression bomb (tiny
+    # IDAT, huge expansion) must fail cheaply, not OOM the executor —
+    # plain zlib.decompress() has no output cap
+    dobj = zlib.decompressobj()
+    data = dobj.decompress(bytes(idat), expected)
+    if dobj.unconsumed_tail or dobj.decompress(b"", 1):
+        raise ValueError("PNG scanline data larger than IHDR promises")
+    raw = np.frombuffer(data, dtype=np.uint8)
+    if raw.size != expected:
         raise ValueError("PNG scanline data has unexpected size")
     img = _unfilter(raw, h, stride, channels).reshape(h, w, channels)
     if channels == 1:

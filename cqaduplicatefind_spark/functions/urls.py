@@ -80,7 +80,10 @@ def url_query(url: Column) -> Column:
 def _canonical_query(url: Column) -> Column:
     """Tracking-stripped, byte-sorted query string ('' when nothing survives)."""
     pairs = F.split(url_query(url), "&")
-    key = lambda kv: F.split(kv, "=").getItem(0)  # noqa: E731
+    # query-param KEYS are matched case-insensitively (UTM_SOURCE / Gclid are
+    # the same tracker — keys are case-preserved in the wild); the surviving
+    # pairs themselves keep their original bytes, values stay case-sensitive
+    key = lambda kv: F.lower(F.split(kv, "=").getItem(0))  # noqa: E731
     kept = F.filter(
         pairs,
         lambda kv: (kv != F.lit(""))

@@ -30,6 +30,11 @@ from pyspark.sql import DataFrame, functions as F
 
 from cqaduplicatefind_spark.operators.repetition import _ngrams
 
+# above this many boundary-tie candidate hashes, fetch gram text with a
+# shuffle join instead of broadcasting through the driver (8-byte hashes:
+# 1M rows ~ 8 MB broadcast — same bound as linededup.BROADCAST_MAX_BOILER)
+BROADCAST_MAX_CANDS = 1_000_000
+
 
 def top_ngrams(
     docs: DataFrame,
@@ -62,8 +67,15 @@ def top_ngrams(
     # exact regardless of which hashes the slim top-k happened to keep)
     thr = counts.orderBy(F.desc("cnt")).limit(k).agg(F.min("cnt").alias("_thr"))
     cands = counts.join(F.broadcast(thr)).where(F.col("cnt") >= F.col("_thr"))
+    # the candidate set is ~k rows in practice, but a tie-heavy boundary (e.g.
+    # _thr lands on 1 because < k grams repeat) makes it vocab-sized — gate the
+    # broadcast on a cheap count over the persisted frame, shuffle fallback
+    # (same count-gated pattern as linededup.remove_boilerplate_lines)
+    cand_hashes = cands.select("_gh")
+    if cands.count() <= BROADCAST_MAX_CANDS:
+        cand_hashes = F.broadcast(cand_hashes)
     texts = (
-        gram_stream.join(F.broadcast(cands.select("_gh")), "_gh")
+        gram_stream.join(cand_hashes, "_gh")
         .groupBy("_gh")
         .agg(F.min("gram").alias("gram"))  # min: deterministic under collisions
     )

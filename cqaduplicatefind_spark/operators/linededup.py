@@ -43,7 +43,8 @@ Semantics (deterministic, oracle-restatable in ANSI SQL):
   frequency would silently misclassify a much-recaptured page's unique
   content as boilerplate);
 - documents whose every line is boilerplate disappear from the output — they
-  had no original content;
+  had no original content; a NULL-text document is treated as the empty
+  document (it survives removal with ``''`` text rather than vanishing);
 - hash caveat: removal matches lines by ``xxhash64`` (and distinct-document
   counting matches documents by ``xxhash64`` of the id), so a 64-bit
   collision could remove a non-boilerplate line or under-count a document —
@@ -142,9 +143,15 @@ def remove_boilerplate_lines(
     if n_boiler <= BROADCAST_MAX_BOILER:
         boiler = F.broadcast(boiler)
 
+    # NULL text splits to NULL and posexplode would silently DROP the row —
+    # beyond the documented all-boilerplate drop; treat NULL as the empty
+    # document instead (split('') = [''], one empty line, never boilerplate),
+    # so the row survives with '' text like any other content-free page
     exploded = docs.select(
         F.col(id_col),
-        F.posexplode(_split_lines(F.col(text_col))).alias("pos", "line"),
+        F.posexplode(
+            _split_lines(F.coalesce(F.col(text_col), F.lit("")))
+        ).alias("pos", "line"),
     )
     kept = exploded.join(
         boiler, F.xxhash64(F.col("line")) == F.col("_blh"), "left_anti"

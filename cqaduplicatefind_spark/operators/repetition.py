@@ -88,7 +88,9 @@ def _gram_stat(
     )
     per_gram = (
         exploded.groupBy(id_col, F.xxhash64("_g").alias("_gh"))
-        .agg(F.first("_nt").alias("_nt"), F.count(F.lit(1)).alias("_c"))
+        # max, not first: constant within a group under the one-row-per-id
+        # precondition, and still deterministic if that precondition is broken
+        .agg(F.max("_nt").alias("_nt"), F.count(F.lit(1)).alias("_c"))
     )
     if mode == "top":
         # capped at 1 like dup mode: overlapping repeats ("a a a a", top gram
@@ -119,7 +121,13 @@ def repetition_features(
     which to compute (``line``/``top``/``dup``): a caller thresholding on one
     signal should not pay the others' corpus-wide gram explodes and shuffles.
     Documents too short to form grams report 0 fractions; every input row
-    appears in the output exactly once."""
+    appears in the output exactly once.
+
+    Expects ONE ROW PER ``id_col`` (same precondition as
+    ``linededup.remove_boilerplate_lines``): the gram aggregates group by id,
+    so multi-capture input would merge gram counts ACROSS captures (inflating
+    the duplication fractions) and fan out the assembly joins — run the URL
+    tier's latest-capture collapse first."""
     unknown = set(signals) - {"line", "top", "dup"}
     if unknown or not signals:
         raise ValueError(f"repetition_features: bad signals {signals!r}")

@@ -37,6 +37,27 @@ def test_top_ngrams_short_docs_and_small_corpus(spark):
     assert {(r.gram, r.cnt) for r in got} == {("a b", 2), ("b a", 1)}
 
 
+def test_top_ngrams_tie_heavy_boundary_shuffle_fallback(spark, monkeypatch):
+    """When the k-th-count boundary is tie-heavy the candidate set approaches
+    vocab size; the text-fetch join must fall back to a shuffle join instead
+    of force-broadcasting a vocab-sized frame through the driver. Forced here
+    by shrinking the gate to 0; the result stays exact either way."""
+    from cqaduplicatefind_spark.operators import corpus_stats
+
+    texts = [f"u{i} v{i} w{i}" for i in range(30)]  # every bigram count = 1
+    ref = Counter()
+    for t in texts:
+        toks = t.split(" ")
+        ref.update(" ".join(toks[i : i + 2]) for i in range(len(toks) - 1))
+    expect = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    monkeypatch.setattr(corpus_stats, "BROADCAST_MAX_CANDS", 0)
+    got = [
+        (r.gram, r.cnt)
+        for r in top_ngrams(_docs(spark, texts), n=2, k=5).collect()
+    ]
+    assert got == expect
+
+
 def test_stratified_sample_rates_and_nesting(spark):
     rows = [(f"u{i}", "web" if i % 2 else "books") for i in range(4000)]
     df = spark.createDataFrame(rows, "url string, source string")

@@ -75,6 +75,26 @@ def test_removal_semantics(spark):
     assert out["d5"] == "delta body five\nepsilon line"
 
 
+def test_null_text_survives_as_empty_doc(spark):
+    """A NULL-text row must not vanish from removal output (posexplode of a
+    NULL split emits no rows); it is treated as the empty document and
+    survives with '' text. Frequency counting ignores it entirely."""
+    docs = _docs(spark).unionByName(
+        spark.createDataFrame([("dnull",)], "url string").withColumn(
+            "text", F.lit(None).cast("string")
+        )
+    )
+    freq = {r.line_hash: r.n_docs for r in line_doc_freq(docs).collect()}
+    base = {r.line_hash: r.n_docs for r in line_doc_freq(_docs(spark)).collect()}
+    assert freq == base  # NULL text contributes no lines
+    out = {
+        r.url: r.text
+        for r in remove_boilerplate_lines(docs, min_doc_freq=3).collect()
+    }
+    assert out["dnull"] == ""
+    assert "d4" not in out  # the documented all-boilerplate drop still holds
+
+
 def test_high_threshold_is_identity(spark):
     out = {
         r.url: r.text

@@ -120,6 +120,72 @@ def test_ppm_crlf_after_maxval_and_truncation():
         decode_ppm(b"P6\n3 2\n255\n" + img.tobytes()[:-1])
 
 
+def test_ppm_trailing_bytes_never_shift_raster():
+    """Surplus bytes AFTER the raster (a transport-appended newline) are
+    ignored — they must never cause a whitespace-valued first pixel to be
+    eaten (the old skip-surplus-whitespace heuristic did exactly that)."""
+    from cqaduplicatefind_spark.functions.imagecodec import decode_ppm
+
+    img = np.array([[32, 1], [2, 3]], dtype=np.uint8)  # 0x20 first pixel
+    for header in (b"P5\n2 2\n255\n", b"P5\n2 2\n255\r\n"):
+        for tail in (b"", b"\n", b"\n\n junk"):
+            out = decode_ppm(header + img.tobytes() + tail)
+            assert out[:, :, 0].tolist() == img.tolist(), (header, tail)
+
+
+def test_ppm_rejects_malformed_headers():
+    """Non-positive dimensions and a maxval not followed by whitespace raise
+    instead of silently inferring a shape from the payload length."""
+    import pytest
+
+    from cqaduplicatefind_spark.functions.imagecodec import decode_ppm
+
+    with pytest.raises(ValueError, match="dimensions"):
+        decode_ppm(b"P5\n-1 4\n255\n" + bytes(8))
+    with pytest.raises(ValueError, match="dimensions"):
+        decode_ppm(b"P6\n0 4\n255\n")
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\n2 2\n255")  # header ends at EOF
+
+
+def test_png_decompression_bomb_rejected():
+    """A lying IHDR (huge dims, tiny IDAT) fails cheaply on the declared size;
+    an IDAT inflating to MORE than IHDR promises fails on the bounded inflate
+    — neither may allocate unbounded memory on untrusted crawl bytes."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from cqaduplicatefind_spark.functions.imagecodec import (
+        PNG_SIGNATURE,
+        decode_png,
+    )
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    bomb = (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 50000, 50000, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(10**6), 9))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="MAX_DECODED_BYTES"):
+        decode_png(bomb)
+    oversize = (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(1000)))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="larger than IHDR"):
+        decode_png(oversize)
+
+
 def test_png_round_trip_all_color_types():
     from cqaduplicatefind_spark.functions.imagecodec import decode_png, encode_png
 

@@ -35,6 +35,10 @@ GOLDEN = [
         "https://example.com/a?a=1&b=2",
     ),
     ("https://example.com/a?gclid=z&fbclid=w", "https://example.com/a"),
+    # tracking-param KEYS match case-insensitively (case-preserved in the
+    # wild); surviving pairs keep their bytes, values stay case-sensitive
+    ("https://example.com/a?UTM_SOURCE=feed&a=1", "https://example.com/a?a=1"),
+    ("https://example.com/a?Gclid=z&B=2", "https://example.com/a?B=2"),
     ("https://example.com/a?", "https://example.com/a"),
     ("https://example.com/a?x=1#f?fake=2", "https://example.com/a?x=1"),
     ("https://sub.www-like.example.com/a", "https://sub.www-like.example.com/a"),
