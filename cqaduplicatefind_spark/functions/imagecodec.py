@@ -2,10 +2,11 @@
 PNG, decoded with ``zlib`` + numpy only — no Pillow/libjpeg in this container.
 
 This turns the multimodal decode path from an honest stub into tested code for
-the two formats a container with zero codec libraries CAN decode from first
-principles. JPEG/video remain library-gated in ``multimodal.py`` (strict mode
-raises); the reference has no image handling at all — this capability belongs
-to the LLM-data-pipeline surface, not reference parity.
+the formats a container with zero codec libraries CAN decode from first
+principles; baseline JPEG lives in ``jpegcodec.py`` and is dispatched from
+``decode_image`` below. Video remains library-gated in ``multimodal.py``
+(strict mode raises); the reference has no image handling at all — this
+capability belongs to the LLM-data-pipeline surface, not reference parity.
 
 A minimal encoder for each format lives here too, so tests round-trip real
 arrays through real bytes instead of trusting fixtures.
@@ -235,4 +236,8 @@ def decode_image(payload: bytes) -> np.ndarray | None:
         return decode_png(payload)
     if payload[:2] in (b"P6", b"P5"):
         return decode_ppm(payload)
+    if payload[:2] == b"\xff\xd8":
+        from cqaduplicatefind_spark.functions.jpegcodec import decode_jpeg
+
+        return decode_jpeg(payload)
     return None

@@ -2,12 +2,14 @@
 metadata, processed by Arrow-batched UDFs.
 
 The Spark-side plumbing here is real and tested — schemas, ``mapInPandas`` batch
-shapes, partitioning behavior, deterministic feature extraction over raw bytes. The
-actual codec calls (JPEG decode, resampling, frame extraction) are STUBBED: the
-image/audio libraries are not in this container, so each decode routine first tries
-the real library and otherwise falls back to a clearly-marked deterministic fake
-(or raises ``NotImplementedError`` when ``strict=True``). Swapping in Pillow/ffmpeg
-is confined to ``_decode_image_bytes`` / ``_sample_frames_bytes``.
+shapes, partitioning behavior, deterministic feature extraction over raw bytes.
+Image decode is REAL for PPM/PGM, non-interlaced 8-bit PNG, and baseline JPEG via
+the pure-numpy codecs (``imagecodec.py`` / ``jpegcodec.py``); variants outside
+their scope (progressive JPEG, palette PNG, ...) try Pillow and otherwise fall
+back to a clearly-marked deterministic fake (or raise ``NotImplementedError``
+when ``strict=True``). Video frame extraction remains STUBBED (no ffmpeg in this
+container); swapping real libraries in is confined to ``_decode_image_bytes`` /
+``_sample_frames_bytes``.
 
 At cluster scale these stages are narrow maps over the payload column — zero
 shuffle; Arrow moves the bytes to Python once per batch.
@@ -38,14 +40,14 @@ def _stub_image(payload: bytes) -> np.ndarray:
 
 
 def _decode_image_bytes(payload: bytes, strict: bool = False) -> np.ndarray:
-    """bytes -> (H, W, 3) uint8. PPM/PGM and non-interlaced 8-bit PNG decode for
-    REAL via the pure-stdlib codec (``functions/imagecodec.py``); other formats
-    (JPEG, ...) and PNG/PPM variants the pure codec does not cover
-    (palette/16-bit/interlaced, or corrupt payloads) try Pillow and otherwise
-    fall back to a deterministic fake derived from the payload bytes (NOT a
-    real decode — marked stub). Non-strict mode NEVER raises — a web-scale
-    media batch always contains payloads no decoder accepts, and one bad byte
-    string must not kill the Spark task."""
+    """bytes -> (H, W, 3) uint8. PPM/PGM, non-interlaced 8-bit PNG, and baseline
+    JPEG decode for REAL via the pure-numpy codecs (``functions/imagecodec.py``,
+    ``functions/jpegcodec.py``); variants the pure codecs do not cover
+    (progressive JPEG, palette/16-bit/interlaced PNG, corrupt payloads) try
+    Pillow and otherwise fall back to a deterministic fake derived from the
+    payload bytes (NOT a real decode — marked stub). Non-strict mode NEVER
+    raises — a web-scale media batch always contains payloads no decoder
+    accepts, and one bad byte string must not kill the Spark task."""
     from cqaduplicatefind_spark.functions.imagecodec import decode_image
 
     try:
@@ -64,8 +66,8 @@ def _decode_image_bytes(payload: bytes, strict: bool = False) -> np.ndarray:
     except ImportError:
         if strict:
             raise NotImplementedError(
-                "image decode beyond stdlib PNG/PPM requires Pillow; container "
-                "has no codec libraries"
+                "image decode beyond the pure PNG/PPM/baseline-JPEG codecs "
+                "requires Pillow; container has no codec libraries"
             )
         return _stub_image(payload)
     try:  # pragma: no cover - library absent in this container

@@ -265,6 +265,29 @@ def test_decode_images_real_codec_strict_no_pillow(spark):
     assert abs(rows["p2"].mean_pixel - float(img2.mean())) < 1e-9
 
 
+def test_decode_images_jpeg_strict(spark):
+    """Baseline JPEG decodes for REAL in strict mode (pure-numpy codec, no
+    Pillow): true dimensions come back and the mean pixel sits within the
+    lossy-compression tolerance of the source image."""
+    from cqaduplicatefind_spark.functions.jpegcodec import encode_jpeg
+
+    yy, xx = np.mgrid[0:24, 0:40]
+    img = (
+        np.stack([xx * 6, yy * 10, (xx + yy) * 3], axis=2).clip(0, 255)
+    ).astype(np.uint8)
+    df = spark.createDataFrame(
+        [("j444", "image", bytearray(encode_jpeg(img, quality=95)), 40, 24, None),
+         ("j420", "image",
+          bytearray(encode_jpeg(img, quality=95, subsample=True)), 40, 24, None)],
+        "media_id string, media_type string, payload binary, "
+        "width int, height int, duration_ms int",
+    )
+    rows = {r.media_id: r for r in decode_images(df, strict=True).collect()}
+    for mid in ("j444", "j420"):
+        assert (rows[mid].height, rows[mid].width) == (24, 40)
+        assert abs(rows[mid].mean_pixel - float(img.mean())) < 2.0
+
+
 def test_nonstrict_decode_never_raises_on_variant_or_corrupt_payloads():
     """Non-strict decode must fall back to the stub for payloads whose magic
     bytes match PNG/PPM but whose variant the pure codec does not cover
@@ -276,7 +299,7 @@ def test_nonstrict_decode_never_raises_on_variant_or_corrupt_payloads():
         b"\x89PNG\r\n\x1a\ntruncated-garbage",           # corrupt PNG
         b"P6\n2 2\n65535\n" + b"\x00" * 24,              # 16-bit PPM (maxval)
         b"P6\n2 2\n255\n\x00",                           # truncated PPM body
-        b"\xff\xd8\xff\xe0 not a real jpeg",             # JPEG magic, no codec
+        b"\xff\xd8\xff\xe0 not a real jpeg",             # corrupt JPEG
         b"",                                             # empty
     ]
     for p in payloads:
