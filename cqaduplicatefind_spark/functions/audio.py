@@ -1,0 +1,245 @@
+"""Audio columns: pure-stdlib WAV (RIFF PCM) decode, deterministic spectral
+features, and a Haitsma–Kalker-style robust fingerprint for near-duplicate
+audio — the audio leg of the multimodal surface (images: ``imagecodec.py`` /
+``jpegcodec.py``; video frame extraction stays library-gated).
+
+Everything here is a real decode/transform, not a stub: RIFF parsing is ~60
+lines of struct reads, and numpy's FFT provides the spectral analysis. The
+compressed formats a crawl also carries (MP3/AAC/Opus) need external codecs
+and fall through to the caller's deterministic fallback exactly like
+progressive JPEG does on the image side.
+
+Scale notes: per-payload work is bounded by ``MAX_SAMPLES`` before any
+allocation (untrusted crawl bytes must not OOM an executor); the Spark
+wrappers in ``multimodal.py`` are Arrow-batched narrow maps — zero shuffle.
+Near-dup pairing over fingerprints reuses the engine's Hamming kernel
+(``bit_count`` on xor, same as SimHash) rather than a new join path.
+
+Fingerprint design (public: Haitsma & Kalker, "A Highly Robust Audio
+Fingerprinting System", ISMIR 2002): frame the signal, take log-band energies,
+and threshold the time–frequency energy *difference of differences* to bits;
+near-identical audio (re-encoded, slightly noisy) flips few bits, unrelated
+audio ~half. A 64-bit doc-level simhash over frame words makes the existing
+bucketed Hamming machinery apply unchanged.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# refuse payloads claiming more decoded samples than this BEFORE allocating
+MAX_SAMPLES = 256 * 1024 * 1024 // 8  # ~32M samples ≈ 12 min at 44.1 kHz stereo
+# reject absurd header rates before they flow into duration math or band edges
+# (legitimate audio tops out at 384 kHz; crawl bytes can claim anything)
+MAX_RATE = 4_194_304
+# the fingerprint's band range needs Nyquist comfortably above the 300 Hz
+# bottom edge; below this rate every band is degenerate and all clips would
+# collide at fingerprint 0 (callers treat these like undecodable payloads)
+MIN_FINGERPRINT_RATE = 1200
+
+FRAME = 2048  # fingerprint frame length (samples)
+HOP = 1024  # 50% overlap
+N_BANDS = 33  # 33 log-spaced bands -> 32 difference bits per frame
+
+
+# --------------------------------------------------------------------------
+# WAV (RIFF PCM / IEEE-float) codec
+# --------------------------------------------------------------------------
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF WAV -> (mono float64 samples in [-1, 1], sample_rate).
+
+    Supports PCM 8-bit unsigned / 16-bit / 24-bit / 32-bit signed and IEEE
+    float32/float64, any channel count (averaged to mono). Raises
+    ``ValueError`` on anything else — compressed WAV (ADPCM, MP3-in-WAV)
+    needs external codecs.
+    """
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt = None
+    data = None
+    i = 12
+    n = len(payload)
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        (size,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        body = payload[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated WAV fmt chunk")
+            tag, channels, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            if tag == 0xFFFE and len(body) >= 40:  # WAVE_FORMAT_EXTENSIBLE
+                tag = struct.unpack("<H", body[24:26])[0]
+            fmt = (tag, channels, rate, bits)
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    tag, channels, rate, bits = fmt
+    if channels < 1 or rate < 1 or rate > MAX_RATE:
+        raise ValueError(f"invalid WAV header (channels={channels}, rate={rate})")
+    # bound the decoded array BEFORE any conversion allocates: the claimed
+    # sample count is len(data) / bytes-per-sample, known up front (a lying
+    # chunk size cannot inflate it — body slicing clamps to the real payload)
+    if bits in (8, 16, 24, 32, 64):
+        if len(data) // (bits // 8) > MAX_SAMPLES:
+            raise ValueError(
+                f"WAV claims {len(data) // (bits // 8)} samples "
+                f"(> MAX_SAMPLES={MAX_SAMPLES})"
+            )
+    if tag == 1:  # PCM
+        if bits == 8:
+            raw = np.frombuffer(data, dtype=np.uint8).astype(np.float64)
+            samples = (raw - 128.0) / 128.0
+        elif bits == 16:
+            raw = np.frombuffer(data[: len(data) & ~1], dtype="<i2")
+            samples = raw.astype(np.float64) / 32768.0
+        elif bits == 24:
+            usable = len(data) - len(data) % 3
+            b = np.frombuffer(data[:usable], dtype=np.uint8).reshape(-1, 3)
+            v = (
+                b[:, 0].astype(np.int64)
+                | (b[:, 1].astype(np.int64) << 8)
+                | (b[:, 2].astype(np.int64) << 16)
+            )
+            v = np.where(v >= 1 << 23, v - (1 << 24), v)
+            samples = v.astype(np.float64) / float(1 << 23)
+        elif bits == 32:
+            raw = np.frombuffer(data[: len(data) & ~3], dtype="<i4")
+            samples = raw.astype(np.float64) / float(1 << 31)
+        else:
+            raise ValueError(f"unsupported PCM bit depth {bits}")
+    elif tag == 3:  # IEEE float
+        if bits == 32:
+            samples = np.frombuffer(data[: len(data) & ~3], dtype="<f4").astype(
+                np.float64
+            )
+        elif bits == 64:
+            samples = np.frombuffer(data[: len(data) & ~7], dtype="<f8").astype(
+                np.float64
+            )
+        else:
+            raise ValueError(f"unsupported float bit depth {bits}")
+    else:
+        raise ValueError(f"unsupported WAV format tag {tag} (compressed?)")
+    if channels > 1:
+        usable = samples.size - samples.size % channels
+        samples = samples[:usable].reshape(-1, channels).mean(axis=1)
+    return samples, rate
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """mono float64 in [-1, 1] -> 16-bit PCM WAV bytes (tests' fixture path)."""
+    pcm = np.clip(np.round(np.asarray(samples, dtype=np.float64) * 32767.0),
+                  -32768, 32767).astype("<i2")
+    data = pcm.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# --------------------------------------------------------------------------
+# Deterministic features + robust fingerprint
+# --------------------------------------------------------------------------
+
+def audio_features(samples: np.ndarray, rate: int) -> dict:
+    """Cheap deterministic descriptors: duration, RMS, zero-crossing rate,
+    spectral centroid (Hz) over the whole clip."""
+    n = samples.size
+    if n == 0:
+        return {"duration_ms": 0, "rms": 0.0, "zcr": 0.0, "centroid_hz": 0.0}
+    rms = float(np.sqrt(np.mean(samples**2)))
+    zcr = float(np.mean(np.signbit(samples[1:]) != np.signbit(samples[:-1])))
+    spec = np.abs(np.fft.rfft(samples))
+    freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+    total = spec.sum()
+    centroid = float((freqs * spec).sum() / total) if total > 0 else 0.0
+    return {
+        "duration_ms": int(round(n * 1000.0 / rate)),
+        "rms": rms,
+        "zcr": zcr,
+        "centroid_hz": centroid,
+    }
+
+
+def _band_energies(samples: np.ndarray, rate: int) -> np.ndarray:
+    """(n_frames, N_BANDS) log-spaced band energies, Hann-windowed frames."""
+    if rate < MIN_FINGERPRINT_RATE:
+        raise ValueError(
+            f"sample rate {rate} too low for spectral fingerprint "
+            f"(< MIN_FINGERPRINT_RATE={MIN_FINGERPRINT_RATE})"
+        )
+    n = samples.size
+    if n < FRAME:
+        samples = np.pad(samples, (0, FRAME - n))
+        n = FRAME
+    n_frames = 1 + (n - FRAME) // HOP
+    idx = np.arange(FRAME)[None, :] + HOP * np.arange(n_frames)[:, None]
+    frames = samples[idx] * np.hanning(FRAME)[None, :]
+    power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    freqs = np.fft.rfftfreq(FRAME, d=1.0 / rate)
+    # log-spaced band edges over the robust range (300 Hz .. min(3 kHz, Nyquist))
+    top = min(3000.0, rate / 2.0)
+    edges = np.geomspace(300.0, top, N_BANDS + 1)
+    bands = np.zeros((n_frames, N_BANDS))
+    for b in range(N_BANDS):
+        sel = (freqs >= edges[b]) & (freqs < edges[b + 1])
+        if sel.any():
+            bands[:, b] = power[:, sel].sum(axis=1)
+    # clamp near-silent bands to a per-frame relative floor (-50 dB): their
+    # exact leakage/noise level is measurement noise, and without the clamp a
+    # re-encode or faint noise bed rewrites the fingerprint bits of every
+    # band that carries no real content (pure tones, silence, band-limited
+    # speech all have many such bands)
+    floor = 1e-5 * power.sum(axis=1, keepdims=True)
+    return np.maximum(bands, floor)
+
+
+def frame_fingerprints(samples: np.ndarray, rate: int) -> np.ndarray:
+    """Per-frame 32-bit fingerprint words (Haitsma–Kalker bit derivation):
+    bit[b] = sign of the time-and-frequency second difference of log band
+    energy. Robust to level changes (log) and slow spectral drift (diffs)."""
+    e = np.log(_band_energies(samples, rate) + 1e-12)
+    fdiff = e[:, :-1] - e[:, 1:]  # (n_frames, 32)
+    tdiff = np.vstack([fdiff[:1], fdiff[1:] - fdiff[:-1]])  # first frame: raw
+    bits = (tdiff > 0).astype(np.uint64)
+    weights = (np.uint64(1) << np.arange(32, dtype=np.uint64))[None, :]
+    return (bits * weights).sum(axis=1).astype(np.uint64)
+
+
+def audio_simhash(samples: np.ndarray, rate: int) -> int:
+    """64-bit doc-level fingerprint for near-duplicate audio: each time half of
+    the clip contributes 32 bits, bit[b] = sign of the clip-summed log-band
+    energy difference ``sum_t (logE[t,b] - logE[t,b+1])``.
+
+    Summing the SIGNED margins (not per-frame sign votes) makes the bits
+    noise-robust: bands where the spectrum has real structure accumulate large
+    margins that small perturbations cannot flip, while near-silent bands'
+    noise cancels across frames. The log makes it level-invariant. Per-frame
+    temporal structure is intentionally NOT in this hash (that is what
+    ``frame_fingerprints`` is for — true Haitsma–Kalker words for frame-level
+    matching); two time halves keep enough coarse temporal order that clips
+    differing only in their second half differ in the upper 32 bits.
+
+    Returns a SIGNED 64-bit int (Spark/DuckDB ``bigint`` convention, same as
+    ``functions.signatures``) — pair with the same ``bit_count(a ^ b)``
+    Hamming kernel the engine uses for SimHash text dedup."""
+    e = np.log(_band_energies(samples, rate) + 1e-12)
+    fdiff = e[:, :-1] - e[:, 1:]  # (n_frames, 32) signed margins
+    n = fdiff.shape[0]
+    sig = np.uint64(0)
+    for half, block in ((0, fdiff[: (n + 1) // 2]), (32, fdiff[(n + 1) // 2 :])):
+        if block.shape[0] == 0:
+            continue
+        votes = block.sum(axis=0)
+        for b in range(32):
+            if votes[b] > 0:
+                sig |= np.uint64(1) << np.uint64(half + b)
+    return int(sig.astype(np.int64))

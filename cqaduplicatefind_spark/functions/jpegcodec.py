@@ -35,9 +35,13 @@ import struct
 
 import numpy as np
 
-# refuse to decode images claiming more pixels than this BEFORE allocating
-# (shared spirit with imagecodec.MAX_DECODED_BYTES: untrusted crawl bytes)
-MAX_PIXELS = 64 * 1024 * 1024  # 64 MP ~ 192 MiB RGB
+# refuse to decode images claiming more pixels than this BEFORE allocating.
+# The bound is sized to the decoder's real working set, not the output: float32
+# coefficient planes + IDCT temporaries + upsampled planes peak near ~40 B per
+# pixel, so 16 MP caps an adversarial few-KB payload (lying SOF, all-EOB
+# blocks) at ~650 MB transient and a ~1 s entropy loop instead of letting it
+# OOM or pin an executor (shared spirit with imagecodec.MAX_DECODED_BYTES).
+MAX_PIXELS = 16 * 1024 * 1024
 
 
 # --------------------------------------------------------------------------
@@ -301,13 +305,19 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         elif marker == 0xC4:  # DHT (possibly several tables per segment)
             k = 0
             while k < len(data):
+                if k + 17 > len(data):
+                    raise ValueError("truncated DHT")
                 cls, tid = data[k] >> 4, data[k] & 15
                 bits = list(data[k + 1 : k + 17])
                 nval = sum(bits)
                 vals = list(data[k + 17 : k + 17 + nval])
+                if len(vals) != nval:
+                    raise ValueError("truncated DHT")
                 htables[(cls, tid)] = _decode_table(bits, vals)
                 k += 17 + nval
         elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended sequential
+            if len(data) < 6:
+                raise ValueError("truncated SOF")
             prec, h, w, nc = struct.unpack(">BHHB", data[:6])
             if prec != 8:
                 raise ValueError(f"only 8-bit JPEG supported, got {prec}")
@@ -317,6 +327,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 raise ValueError(
                     f"JPEG header claims {w * h} pixels (> MAX_PIXELS={MAX_PIXELS})"
                 )
+            if len(data) < 6 + 3 * nc:
+                raise ValueError("truncated SOF")
             comps = []
             for c in range(nc):
                 cid, samp, tq = data[6 + 3 * c : 9 + 3 * c]
@@ -326,16 +338,30 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 comps.append((cid, hi, vi, tq))
             if nc not in (1, 3):
                 raise ValueError(f"unsupported component count {nc}")
+            if nc == 1:
+                # T.81 A.2.2: a single-component scan is NON-interleaved —
+                # data units in raster order of the full-resolution block
+                # grid, MCU = 1 data unit (restart intervals count likewise).
+                # Declared sampling factors affect only multi-component
+                # geometry, so normalize them away here; without this a
+                # grayscale file declaring 2x2 factors (encoders often keep
+                # luma factors when dropping chroma) decodes block-scrambled.
+                cid, _, _, tq = comps[0]
+                comps = [(cid, 1, 1, tq)]
             frame = (h, w, comps)
         elif marker == 0xC2:
             raise ValueError("progressive JPEG not supported by pure codec")
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("unsupported JPEG coding process")
         elif marker == 0xDD:  # DRI
+            if len(data) < 2:
+                raise ValueError("truncated DRI")
             (dri,) = struct.unpack(">H", data[:2])
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
+            if not data or len(data) < 1 + 2 * data[0]:
+                raise ValueError("truncated SOS")
             ns = data[0]
             sel = {}
             for c in range(ns):
@@ -360,7 +386,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             raise ValueError(f"missing quantization table {tq}")
         if cid not in sel:
             raise ValueError(f"scan does not cover component {cid}")
-        coef.append(np.zeros((mcus_y * vi, mcus_x * hi, 64), dtype=np.float64))
+        # float32 throughout the decode: halves the dominant working set and
+        # is exact for 8-bit output (IDCT error << 0.5 at these magnitudes)
+        coef.append(np.zeros((mcus_y * vi, mcus_x * hi, 64), dtype=np.float32))
 
     seg_idx = 0
     reader = _BitReader(segs[0])
@@ -406,13 +434,19 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         k += 1
                     coef[ci][my * vi + by, mx * hi + bx] = blk
     # batched IDCT + reassemble planes
+    basis32 = DCT_BASIS.astype(np.float32)
     planes = []
-    for ci, (cid, hi, vi, tq) in enumerate(comps):
-        by, bx = coef[ci].shape[:2]
-        nat = np.zeros((by * bx, 64), dtype=np.float64)
-        nat[:, ZIGZAG] = coef[ci].reshape(by * bx, 64)
+    while coef:
+        ci = len(planes)
+        cid, hi, vi, tq = comps[ci]
+        c = coef.pop(0)  # release each coefficient plane as it is consumed
+        by, bx = c.shape[:2]
+        nat = np.zeros((by * bx, 64), dtype=np.float32)
+        nat[:, ZIGZAG] = c.reshape(by * bx, 64)
+        del c
         blocks = nat.reshape(by * bx, 8, 8)
-        pix = DCT_BASIS.T @ blocks @ DCT_BASIS + 128.0
+        pix = basis32.T @ blocks @ basis32 + np.float32(128.0)
+        del nat, blocks
         plane = (
             pix.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
         )
@@ -424,9 +458,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         y = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
         return np.repeat(y[:, :, None], 3, axis=2)
     y, cb, cr = planes
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
+    cb -= np.float32(128.0)
+    cr -= np.float32(128.0)
+    r = y + np.float32(1.402) * cr
+    g = y - np.float32(0.344136) * cb - np.float32(0.714136) * cr
+    b = y + np.float32(1.772) * cb
     return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
 
 

@@ -7,9 +7,11 @@ Image decode is REAL for PPM/PGM, non-interlaced 8-bit PNG, and baseline JPEG vi
 the pure-numpy codecs (``imagecodec.py`` / ``jpegcodec.py``); variants outside
 their scope (progressive JPEG, palette PNG, ...) try Pillow and otherwise fall
 back to a clearly-marked deterministic fake (or raise ``NotImplementedError``
-when ``strict=True``). Video frame extraction remains STUBBED (no ffmpeg in this
+when ``strict=True``). Audio decode is REAL for RIFF PCM/float WAV
+(``audio.py``: features + robust spectral fingerprints; compressed formats fall
+back the same way). Video frame extraction remains STUBBED (no ffmpeg in this
 container); swapping real libraries in is confined to ``_decode_image_bytes`` /
-``_sample_frames_bytes``.
+``_decode_audio_bytes`` / ``_sample_frames_bytes``.
 
 At cluster scale these stages are narrow maps over the payload column — zero
 shuffle; Arrow moves the bytes to Python once per batch.
@@ -180,6 +182,111 @@ def sample_video_frames(df: DataFrame, n_frames: int = 4,
 
     return df.select("media_id", payload_col).mapInPandas(
         compute, "media_id string, frame_idx int, frame binary"
+    )
+
+
+def _decode_audio_bytes(
+    payload: bytes, strict: bool = False
+) -> tuple[np.ndarray, int] | None:
+    """bytes -> (mono float64 samples, rate) via the pure WAV codec, or None
+    for undecodable payloads in non-strict mode (compressed formats need
+    external codecs, same fallback contract as images)."""
+    from cqaduplicatefind_spark.functions.audio import decode_wav
+
+    try:
+        return decode_wav(payload)
+    except ValueError:
+        if strict:
+            raise NotImplementedError(
+                "audio decode beyond RIFF PCM/float WAV requires an external "
+                "codec; container has no codec libraries"
+            )
+        return None
+
+
+def decode_audio(df: DataFrame, payload_col: str = "payload",
+                 strict: bool = False,
+                 with_fingerprint: bool = False) -> DataFrame:
+    """media -> (media_id, sample_rate, duration_ms, rms, zcr, centroid_hz
+    [, fp]): REAL WAV decode + deterministic spectral features
+    (``functions/audio.py``). Undecodable payloads yield a null-feature row in
+    non-strict mode (the row survives — one compressed clip must not kill the
+    batch). ``with_fingerprint=True`` also emits the 64-bit robust fingerprint
+    from the SAME decode — callers wanting both features and fingerprints
+    should use this instead of a second ``audio_fingerprints`` pass, which
+    would re-decode and re-FFT every payload. One narrow Arrow-batched map,
+    zero shuffle. ``duration_ms`` is bigint: a decodable low-rate clip can
+    exceed int32 milliseconds."""
+    from cqaduplicatefind_spark.functions.audio import audio_features, audio_simhash
+
+    def compute(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf[payload_col]):
+                dec = _decode_audio_bytes(bytes(p) if p is not None else b"", strict)
+                if dec is None:
+                    rows.append((mid, None, None, None, None, None, None))
+                    continue
+                samples, rate = dec
+                f = audio_features(samples, rate)
+                try:
+                    fp = audio_simhash(samples, rate) if with_fingerprint else None
+                except ValueError:  # rate below the fingerprint's band range
+                    fp = None
+                rows.append((mid, rate, f["duration_ms"], f["rms"],
+                             f["zcr"], f["centroid_hz"], fp))
+            pdf_out = pd.DataFrame(
+                rows,
+                columns=["media_id", "sample_rate", "duration_ms", "rms",
+                         "zcr", "centroid_hz", "fp"],
+            )
+            if not with_fingerprint:
+                pdf_out = pdf_out.drop(columns=["fp"])
+            yield pdf_out
+
+    schema = (
+        "media_id string, sample_rate int, duration_ms long, rms double, "
+        "zcr double, centroid_hz double"
+    )
+    if with_fingerprint:
+        schema += ", fp long"
+    return df.select("media_id", payload_col).mapInPandas(compute, schema)
+
+
+def audio_fingerprints(df: DataFrame, payload_col: str = "payload",
+                       strict: bool = False) -> DataFrame:
+    """media -> (media_id, fp bigint): 64-bit robust spectral fingerprint
+    (``audio.audio_simhash``). Near-dup pairing reuses the engine's SimHash
+    Hamming kernel — ``bit_count(fp_a ^ fp_b)`` in whole-stage codegen —
+    so audio dedup rides the same bucketed candidate machinery as text.
+    Payloads that are undecodable or below ``MIN_FINGERPRINT_RATE`` are
+    dropped in non-strict mode (no meaningful fingerprint to assign; keeping
+    them would false-pair all low-rate clips at distance 0); exact byte dedup
+    still covers them via ``media_exact_dedup``. Callers that also need the
+    features should use ``decode_audio(..., with_fingerprint=True)`` to pay
+    the decode + FFT once."""
+    from cqaduplicatefind_spark.functions.audio import audio_simhash
+
+    def compute(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, fps = [], []
+            for mid, p in zip(pdf["media_id"], pdf[payload_col]):
+                dec = _decode_audio_bytes(bytes(p) if p is not None else b"", strict)
+                if dec is None:
+                    continue
+                try:
+                    fp = audio_simhash(*dec)
+                except ValueError:
+                    if strict:
+                        raise
+                    continue
+                ids.append(mid)
+                fps.append(fp)
+            yield pd.DataFrame({"media_id": ids,
+                                "fp": pd.Series(fps, dtype="int64")})
+
+    return df.select("media_id", payload_col).mapInPandas(
+        compute, "media_id string, fp long"
     )
 
 

@@ -190,6 +190,38 @@ def test_progressive_and_foreign_payloads_rejected():
         decode_jpeg(b"not a jpeg at all")
 
 
+def test_grayscale_sampling_factors_decode_raster_order():
+    """T.81 A.2.2: a single-component scan is non-interleaved — data units in
+    raster order, regardless of declared sampling factors. Encoders often keep
+    the 2x2 luma factors when dropping chroma; those files must decode to the
+    SAME pixels as a 1x1 declaration, not block-scrambled."""
+    g = (np.mgrid[0:24, 0:40][0] * 9 + np.mgrid[0:24, 0:40][1] * 3).astype(np.uint8)
+    enc = bytearray(encode_jpeg(g, quality=95))
+    base = decode_jpeg(bytes(enc))
+    i = enc.index(b"\xff\xc0")
+    assert enc[i + 11] == 0x11  # sanity: encoder wrote 1x1 factors
+    enc[i + 11] = 0x22  # declare 2x2 — stream stays raster-ordered
+    assert np.array_equal(decode_jpeg(bytes(enc)), base)
+
+
+def test_lying_segment_lengths_raise_valueerror():
+    """Truncated SOF/DRI/SOS bodies must raise ValueError (the documented
+    fallback contract), never struct.error/IndexError."""
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    with pytest.raises(ValueError, match="truncated SOF"):
+        decode_jpeg(b"\xff\xd8" + seg(0xC0, b"\x08\x00"))
+    with pytest.raises(ValueError, match="truncated DRI"):
+        decode_jpeg(b"\xff\xd8" + seg(0xDD, b"\x01"))
+    enc = encode_jpeg(_smooth_rgb(8, 8), quality=90)
+    i = enc.index(b"\xff\xda")
+    with pytest.raises(ValueError, match="truncated SOS"):
+        decode_jpeg(enc[:i] + seg(0xDA, b""))
+    with pytest.raises(ValueError, match="truncated DHT"):
+        decode_jpeg(b"\xff\xd8" + seg(0xC4, b"\x00" + b"\x01" * 16))
+
+
 def test_decode_image_dispatches_on_jpeg_magic():
     from cqaduplicatefind_spark.functions.imagecodec import decode_image
 
