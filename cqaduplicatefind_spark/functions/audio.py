@@ -1,7 +1,7 @@
 """Audio columns: pure-stdlib WAV (RIFF PCM) decode, deterministic spectral
 features, and a Haitsma–Kalker-style robust fingerprint for near-duplicate
 audio — the audio leg of the multimodal surface (images: ``imagecodec.py`` /
-``jpegcodec.py``; video frame extraction stays library-gated).
+``jpegcodec.py``; video: ``videocodec.py``).
 
 Everything here is a real decode/transform, not a stub: RIFF parsing is ~60
 lines of struct reads, and numpy's FFT provides the spectral analysis. The

@@ -9,9 +9,11 @@ their scope (progressive JPEG, palette PNG, ...) try Pillow and otherwise fall
 back to a clearly-marked deterministic fake (or raise ``NotImplementedError``
 when ``strict=True``). Audio decode is REAL for RIFF PCM/float WAV
 (``audio.py``: features + robust spectral fingerprints; compressed formats fall
-back the same way). Video frame extraction remains STUBBED (no ffmpeg in this
-container); swapping real libraries in is confined to ``_decode_image_bytes`` /
-``_decode_audio_bytes`` / ``_sample_frames_bytes``.
+back the same way). Video frame extraction is REAL for MJPEG-in-AVI
+(``videocodec.py``: container parse + per-frame JPEG decode + aHash-majority
+fingerprints); inter-frame-coded containers (H.264/VP9 in MP4/WebM) genuinely
+need ffmpeg and keep the stub fallback. Swapping real libraries in is confined
+to ``_decode_image_bytes`` / ``_decode_audio_bytes`` / ``_sample_frames_bytes``.
 
 At cluster scale these stages are narrow maps over the payload column — zero
 shuffle; Arrow moves the bytes to Python once per batch.
@@ -81,9 +83,33 @@ def _decode_image_bytes(payload: bytes, strict: bool = False) -> np.ndarray:
 
 
 def _sample_frames_bytes(payload: bytes, n_frames: int, strict: bool = False):
-    """Video frame sampling stub: evenly-spaced byte-window 'frames'."""
+    """bytes -> evenly-spaced frame payloads. REAL for MJPEG-in-AVI
+    (``videocodec.py``): each returned frame is that frame's complete baseline
+    JPEG, decodable downstream by ``decode_images`` / ``_decode_image_bytes``
+    (magic-byte dispatch) — only the sampled frames' chunks are sliced, never
+    the whole clip decoded. Other containers (H.264/VP9 in MP4/WebM) need
+    ffmpeg: strict raises, non-strict falls back to deterministic byte-window
+    'frames' (clearly NOT a decode). A malformed AVI gets the same fallback —
+    one corrupt clip must not kill the batch."""
+    from cqaduplicatefind_spark.functions import videocodec
+
+    if videocodec.is_avi(payload):
+        try:
+            table = videocodec.mjpeg_frame_index(payload)
+            return [
+                payload[off : off + size]
+                for off, size in (
+                    table[i]
+                    for i in videocodec.sample_frame_indices(len(table), n_frames)
+                )
+            ]
+        except ValueError:
+            if strict:
+                raise
     if strict:
-        raise NotImplementedError("video decode requires ffmpeg; not in container")
+        raise NotImplementedError(
+            "video decode beyond MJPEG-in-AVI requires ffmpeg; not in container"
+        )
     if not payload or n_frames <= 0:
         return []
     step = max(1, len(payload) // n_frames)
@@ -161,16 +187,23 @@ def decode_images(df: DataFrame, payload_col: str = "payload",
 
 
 def sample_video_frames(df: DataFrame, n_frames: int = 4,
-                        payload_col: str = "payload") -> DataFrame:
+                        payload_col: str = "payload",
+                        strict: bool = False) -> DataFrame:
     """media(video) -> one row per sampled frame (media_id, frame_idx, frame binary).
-    Frame extraction is stubbed byte-windowing; the explode shape is real."""
+    REAL for MJPEG-in-AVI: each frame is a complete baseline JPEG, so the
+    output composes directly with ``decode_images`` / ``resize_images`` /
+    ``media_exact_dedup`` over the frame column; other containers fall back to
+    byte-windowing (see ``_sample_frames_bytes``). ``frame_idx`` numbers the
+    emitted frames 0..k-1 in clip order."""
 
     def compute(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, idxs, frames = [], [], []
             for mid, p in zip(pdf["media_id"], pdf[payload_col]):
                 for i, fr in enumerate(
-                    _sample_frames_bytes(bytes(p) if p is not None else b"", n_frames)
+                    _sample_frames_bytes(
+                        bytes(p) if p is not None else b"", n_frames, strict
+                    )
                 ):
                     ids.append(mid)
                     idxs.append(i)
@@ -276,6 +309,41 @@ def audio_fingerprints(df: DataFrame, payload_col: str = "payload",
                     continue
                 try:
                     fp = audio_simhash(*dec)
+                except ValueError:
+                    if strict:
+                        raise
+                    continue
+                ids.append(mid)
+                fps.append(fp)
+            yield pd.DataFrame({"media_id": ids,
+                                "fp": pd.Series(fps, dtype="int64")})
+
+    return df.select("media_id", payload_col).mapInPandas(
+        compute, "media_id string, fp long"
+    )
+
+
+def video_fingerprints(df: DataFrame, n_frames: int = 8,
+                       payload_col: str = "payload",
+                       strict: bool = False) -> DataFrame:
+    """media(video) -> (media_id, fp bigint): 64-bit doc-level fingerprint —
+    majority vote over sampled frames' perceptual aHashes
+    (``videocodec.video_simhash``). REAL for MJPEG-in-AVI; near-dup pairing
+    reuses the engine's ``bit_count(fp_a ^ fp_b)`` Hamming kernel, exactly
+    like text SimHash and ``audio_fingerprints``. Undecodable payloads
+    (non-AVI containers, malformed streams, frameless clips) are dropped in
+    non-strict mode — a byte-window hash would false-pair unrelated clips;
+    exact byte dedup still covers them via ``media_exact_dedup``."""
+    from cqaduplicatefind_spark.functions.videocodec import video_simhash
+
+    def compute(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, fps = [], []
+            for mid, p in zip(pdf["media_id"], pdf[payload_col]):
+                try:
+                    fp = video_simhash(
+                        bytes(p) if p is not None else b"", n_frames
+                    )
                 except ValueError:
                     if strict:
                         raise
