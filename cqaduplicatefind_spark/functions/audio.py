@@ -149,18 +149,87 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
 # Deterministic features + robust fingerprint
 # --------------------------------------------------------------------------
 
+# frames per FFT chunk: bounds the framing working set regardless of clip
+# length (float32 frames 4096x2048 = 32 MB + complex64 spectra 4096x1025 =
+# 33 MB + float64 chunk conversions ~67 MB), vs the unchunked int64-fancy-index
+# formulation whose peak neared 1.8 GB for a MAX_SAMPLES clip — with several
+# concurrent Arrow-batch tasks per executor that transient was the real OOM
+# risk the MAX_SAMPLES bound exists to prevent
+_CHUNK_FRAMES = 4096
+
+
+def _iter_power(samples: np.ndarray):
+    """Yield float64 ``(<=_CHUNK_FRAMES, FRAME//2+1)`` power spectra of
+    Hann-windowed 50%-overlap frames. Framing is a zero-copy strided view
+    (``sliding_window_view``), the window product + FFT run in float32
+    per chunk (exact enough for log-band sign bits and centroid moments),
+    accumulation happens in float64."""
+    n = samples.size
+    if n < FRAME:
+        samples = np.pad(samples, (0, FRAME - n))
+    sig = samples.astype(np.float32)
+    win = np.hanning(FRAME).astype(np.float32)
+    view = np.lib.stride_tricks.sliding_window_view(sig, FRAME)[::HOP]
+    for s in range(0, view.shape[0], _CHUNK_FRAMES):
+        chunk = view[s : s + _CHUNK_FRAMES] * win  # first copy: float32
+        spec = np.fft.rfft(chunk, axis=1)  # complex64
+        yield (spec.real.astype(np.float64) ** 2
+               + spec.imag.astype(np.float64) ** 2)
+
+
+def _framed_spectral(
+    samples: np.ndarray, rate: int, with_bands: bool
+) -> tuple[np.ndarray | None, float]:
+    """ONE chunked pass over the framed power spectra -> (band-energy matrix
+    or None, spectral centroid in Hz). Centroid works at any rate; band
+    energies (the fingerprint input) require ``rate >= MIN_FINGERPRINT_RATE``."""
+    freqs = np.fft.rfftfreq(FRAME, d=1.0 / rate)
+    sels = None
+    if with_bands:
+        if rate < MIN_FINGERPRINT_RATE:
+            raise ValueError(
+                f"sample rate {rate} too low for spectral fingerprint "
+                f"(< MIN_FINGERPRINT_RATE={MIN_FINGERPRINT_RATE})"
+            )
+        # log-spaced band edges over the robust range (300 Hz .. min(3 kHz,
+        # Nyquist))
+        top = min(3000.0, rate / 2.0)
+        edges = np.geomspace(300.0, top, N_BANDS + 1)
+        sels = [(freqs >= edges[b]) & (freqs < edges[b + 1])
+                for b in range(N_BANDS)]
+    rows: list[np.ndarray] = []
+    num = den = 0.0
+    for power in _iter_power(samples):
+        mag = np.sqrt(power)
+        num += float((mag * freqs).sum())
+        den += float(mag.sum())
+        if sels is not None:
+            bands = np.zeros((power.shape[0], N_BANDS))
+            for b, sel in enumerate(sels):
+                if sel.any():
+                    bands[:, b] = power[:, sel].sum(axis=1)
+            # clamp near-silent bands to a per-frame relative floor (-50 dB):
+            # their exact leakage/noise level is measurement noise, and
+            # without the clamp a re-encode or faint noise bed rewrites the
+            # fingerprint bits of every band that carries no real content
+            # (pure tones, silence, band-limited speech all have many such)
+            floor = 1e-5 * power.sum(axis=1, keepdims=True)
+            rows.append(np.maximum(bands, floor))
+    centroid = num / den if den > 0 else 0.0
+    return (np.concatenate(rows, axis=0) if sels is not None else None), centroid
+
+
 def audio_features(samples: np.ndarray, rate: int) -> dict:
     """Cheap deterministic descriptors: duration, RMS, zero-crossing rate,
-    spectral centroid (Hz) over the whole clip."""
+    spectral centroid (Hz) — the centroid over Hann-windowed frames (same
+    framing as the fingerprint, bounded memory) rather than one O(n log n)
+    full-clip FFT whose ~n/2 complex spectrum dominated cost and memory."""
     n = samples.size
     if n == 0:
         return {"duration_ms": 0, "rms": 0.0, "zcr": 0.0, "centroid_hz": 0.0}
     rms = float(np.sqrt(np.mean(samples**2)))
     zcr = float(np.mean(np.signbit(samples[1:]) != np.signbit(samples[:-1])))
-    spec = np.abs(np.fft.rfft(samples))
-    freqs = np.fft.rfftfreq(n, d=1.0 / rate)
-    total = spec.sum()
-    centroid = float((freqs * spec).sum() / total) if total > 0 else 0.0
+    _, centroid = _framed_spectral(samples, rate, with_bands=False)
     return {
         "duration_ms": int(round(n * 1000.0 / rate)),
         "rms": rms,
@@ -169,37 +238,35 @@ def audio_features(samples: np.ndarray, rate: int) -> dict:
     }
 
 
-def _band_energies(samples: np.ndarray, rate: int) -> np.ndarray:
-    """(n_frames, N_BANDS) log-spaced band energies, Hann-windowed frames."""
-    if rate < MIN_FINGERPRINT_RATE:
-        raise ValueError(
-            f"sample rate {rate} too low for spectral fingerprint "
-            f"(< MIN_FINGERPRINT_RATE={MIN_FINGERPRINT_RATE})"
-        )
+def analyze_audio(samples: np.ndarray, rate: int,
+                  with_fingerprint: bool = False) -> dict:
+    """Features (+ ``fp`` when requested) from a SINGLE framed spectral pass —
+    what ``multimodal.decode_audio(with_fingerprint=True)`` calls so features
+    and fingerprint never frame/FFT the signal twice. ``fp`` is None when not
+    requested or when the rate is below ``MIN_FINGERPRINT_RATE`` (callers
+    wanting a hard error on that use ``audio_simhash`` / check the rate)."""
     n = samples.size
-    if n < FRAME:
-        samples = np.pad(samples, (0, FRAME - n))
-        n = FRAME
-    n_frames = 1 + (n - FRAME) // HOP
-    idx = np.arange(FRAME)[None, :] + HOP * np.arange(n_frames)[:, None]
-    frames = samples[idx] * np.hanning(FRAME)[None, :]
-    power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
-    freqs = np.fft.rfftfreq(FRAME, d=1.0 / rate)
-    # log-spaced band edges over the robust range (300 Hz .. min(3 kHz, Nyquist))
-    top = min(3000.0, rate / 2.0)
-    edges = np.geomspace(300.0, top, N_BANDS + 1)
-    bands = np.zeros((n_frames, N_BANDS))
-    for b in range(N_BANDS):
-        sel = (freqs >= edges[b]) & (freqs < edges[b + 1])
-        if sel.any():
-            bands[:, b] = power[:, sel].sum(axis=1)
-    # clamp near-silent bands to a per-frame relative floor (-50 dB): their
-    # exact leakage/noise level is measurement noise, and without the clamp a
-    # re-encode or faint noise bed rewrites the fingerprint bits of every
-    # band that carries no real content (pure tones, silence, band-limited
-    # speech all have many such bands)
-    floor = 1e-5 * power.sum(axis=1, keepdims=True)
-    return np.maximum(bands, floor)
+    if n == 0:
+        return {"duration_ms": 0, "rms": 0.0, "zcr": 0.0, "centroid_hz": 0.0,
+                "fp": None}
+    rms = float(np.sqrt(np.mean(samples**2)))
+    zcr = float(np.mean(np.signbit(samples[1:]) != np.signbit(samples[:-1])))
+    want_bands = bool(with_fingerprint) and rate >= MIN_FINGERPRINT_RATE
+    bands, centroid = _framed_spectral(samples, rate, with_bands=want_bands)
+    return {
+        "duration_ms": int(round(n * 1000.0 / rate)),
+        "rms": rms,
+        "zcr": zcr,
+        "centroid_hz": centroid,
+        "fp": _simhash_from_bands(bands) if bands is not None else None,
+    }
+
+
+def _band_energies(samples: np.ndarray, rate: int) -> np.ndarray:
+    """(n_frames, N_BANDS) log-spaced band energies, Hann-windowed frames,
+    floor-clamped (see ``_framed_spectral``)."""
+    bands, _ = _framed_spectral(samples, rate, with_bands=True)
+    return bands
 
 
 def frame_fingerprints(samples: np.ndarray, rate: int) -> np.ndarray:

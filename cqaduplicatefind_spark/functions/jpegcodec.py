@@ -1,11 +1,14 @@
 """Pure-numpy baseline JPEG codec (ITU-T T.81 sequential DCT, Huffman coding).
 
 Decoder: baseline + extended-sequential Huffman JPEG (SOF0/SOF1), 8-bit,
-grayscale or YCbCr with any sampling factors up to 4 (covers 4:4:4, 4:2:2,
-4:2:0, 4:4:0), restart markers, multi-chunk DQT/DHT. Progressive (SOF2),
-arithmetic coding, and 12-bit precision raise ``ValueError`` — callers fall
-back the same way they do for any out-of-scope payload
-(``multimodal._decode_image_bytes``).
+grayscale or YCbCr with any sampling factors up to 4 — including non-divisor
+ratios like 3:2 (chroma is index-mapped nearest-neighbor upsampled, exact for
+the common 4:4:4/4:2:2/4:2:0/4:4:0 cases) — restart markers, multi-chunk
+DQT/DHT, and multi-scan sequential files (one non-interleaved scan per
+component, T.81 A.2.2 — some encoders emit these for 3-component images).
+Progressive (SOF2), arithmetic coding, and 12-bit precision raise
+``ValueError`` — callers fall back the same way they do for any out-of-scope
+payload (``multimodal._decode_image_bytes``).
 
 Encoder: baseline, standard Annex K quantization tables scaled by an IJG-style
 quality factor, standard Annex K Huffman tables, 4:4:4 or 4:2:0, optional
@@ -277,13 +280,121 @@ def _parse_segments(payload: bytes):
             yield marker, data, None
 
 
+def _decode_block(
+    reader: _BitReader,
+    dc_tab: dict,
+    ac_tab: dict,
+    qt: np.ndarray,
+    preds: list[int],
+    ci: int,
+) -> np.ndarray:
+    """Decode one data unit: Huffman DC diff + AC run-lengths, dequantized,
+    zigzag order. Mutates ``preds[ci]`` (the per-scan DC predictor)."""
+    blk = np.zeros(64, dtype=np.float64)
+    s = reader.read_huff(dc_tab)
+    if s > 11:
+        raise ValueError("invalid DC magnitude category")
+    diff = _extend(reader.read_bits(s), s)
+    preds[ci] += diff
+    blk[0] = preds[ci] * qt[0]
+    k = 1
+    while k < 64:
+        sym = reader.read_huff(ac_tab)
+        r, s = sym >> 4, sym & 15
+        if s == 0:
+            if r == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("AC coefficient index overflow")
+        blk[k] = _extend(reader.read_bits(s), s) * qt[k]
+        k += 1
+    return blk
+
+
+def _decode_scan(
+    sel: dict[int, tuple[int, int]],
+    segs: list[bytes],
+    comps: list[tuple[int, int, int, int]],
+    coef: list[np.ndarray],
+    htables: dict,
+    qtables: dict,
+    dri: int,
+    geom: tuple[int, int, int, int],
+    w: int,
+    h: int,
+    covered: set[int],
+) -> None:
+    """Entropy-decode one scan into the per-component coefficient planes.
+
+    Interleaved (ns > 1): MCU walk over the padded grid, hi x vi blocks per
+    component per MCU. Non-interleaved (ns == 1, T.81 A.2.2): one data unit
+    per MCU, raster order over the COMPONENT's own ceil'd block grid (not the
+    MCU-padded grid) — this is how multi-scan sequential files and grayscale
+    scans are coded. Restart intervals count MCUs in both cases."""
+    hmax, vmax, mcus_x, mcus_y = geom
+    scomps = [(ci, c) for ci, c in enumerate(comps) if c[0] in sel]
+    if len(scomps) != len(sel):
+        raise ValueError("SOS references a component not in the frame")
+    tabs = {}
+    for ci, (cid, hi, vi, tq) in scomps:
+        if cid in covered:
+            raise ValueError(f"component {cid} coded by more than one scan")
+        covered.add(cid)
+        if tq not in qtables:
+            raise ValueError(f"missing quantization table {tq}")
+        dc_id, ac_id = sel[cid]
+        dc_tab = htables.get((0, dc_id))
+        ac_tab = htables.get((1, ac_id))
+        if dc_tab is None or ac_tab is None:
+            raise ValueError("missing Huffman table referenced by scan")
+        tabs[ci] = (dc_tab, ac_tab, qtables[tq])
+    interleaved = len(scomps) > 1
+    if interleaved:
+        n_units = mcus_x * mcus_y
+    else:
+        ci0, (cid, hi, vi, tq) = scomps[0]
+        bx_n = -(-(w * hi) // (hmax * 8))
+        by_n = -(-(h * vi) // (vmax * 8))
+        n_units = bx_n * by_n
+    seg_idx = 0
+    reader = _BitReader(segs[0])
+    preds = [0] * len(comps)
+    for unit in range(n_units):
+        if dri and unit and unit % dri == 0:
+            seg_idx += 1
+            if seg_idx >= len(segs):
+                raise ValueError("missing JPEG restart segment")
+            reader = _BitReader(segs[seg_idx])
+            preds = [0] * len(comps)
+        if interleaved:
+            my, mx = divmod(unit, mcus_x)
+            for ci, (cid, hi, vi, tq) in scomps:
+                dc_tab, ac_tab, qt = tabs[ci]
+                for by in range(vi):
+                    for bx in range(hi):
+                        coef[ci][my * vi + by, mx * hi + bx] = _decode_block(
+                            reader, dc_tab, ac_tab, qt, preds, ci
+                        )
+        else:
+            dc_tab, ac_tab, qt = tabs[ci0]
+            by, bx = divmod(unit, bx_n)
+            coef[ci0][by, bx] = _decode_block(
+                reader, dc_tab, ac_tab, qt, preds, ci0
+            )
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline/extended-sequential Huffman JPEG -> (H, W, 3) uint8 RGB."""
     qtables: dict[int, np.ndarray] = {}  # id -> 64 ints, zigzag order
     htables: dict[tuple[int, int], dict] = {}  # (class, id) -> decode dict
     frame = None  # (h, w, comps); comps = [(cid, hi, vi, tq)]
     dri = 0
-    scan = None
+    coef: list[np.ndarray] | None = None
+    geom: tuple[int, int, int, int] | None = None
+    covered: set[int] = set()
     for marker, data, segs in _parse_segments(payload):
         if marker == 0xDB:  # DQT (possibly several tables per segment)
             k = 0
@@ -357,7 +468,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if len(data) < 2:
                 raise ValueError("truncated DRI")
             (dri,) = struct.unpack(">H", data[:2])
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS (possibly one of several sequential scans)
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             if not data or len(data) < 1 + 2 * data[0]:
@@ -367,72 +478,30 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for c in range(ns):
                 cid, tabs = data[1 + 2 * c : 3 + 2 * c]
                 sel[cid] = (tabs >> 4, tabs & 15)
-            scan = (sel, segs)
-            break  # single-scan sequential: decode below
-    if frame is None or scan is None:
+            h, w, comps = frame
+            if coef is None:
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcus_x = -(-w // (8 * hmax))
+                mcus_y = -(-h // (8 * vmax))
+                geom = (hmax, vmax, mcus_x, mcus_y)
+                # float32 throughout the decode: halves the dominant working
+                # set and is exact for 8-bit output (IDCT error << 0.5)
+                coef = [
+                    np.zeros((mcus_y * vi, mcus_x * hi, 64), dtype=np.float32)
+                    for cid, hi, vi, tq in comps
+                ]
+            _decode_scan(
+                sel, segs, comps, coef, htables, qtables, dri, geom, w, h, covered
+            )
+    if frame is None or coef is None or geom is None:
         raise ValueError("JPEG missing SOF/SOS")
 
     h, w, comps = frame
-    sel, segs = scan
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-
-    # per-component dequantized coefficient planes, MCU-padded
-    coef = []
-    for cid, hi, vi, tq in comps:
-        if tq not in qtables:
-            raise ValueError(f"missing quantization table {tq}")
-        if cid not in sel:
-            raise ValueError(f"scan does not cover component {cid}")
-        # float32 throughout the decode: halves the dominant working set and
-        # is exact for 8-bit output (IDCT error << 0.5 at these magnitudes)
-        coef.append(np.zeros((mcus_y * vi, mcus_x * hi, 64), dtype=np.float32))
-
-    seg_idx = 0
-    reader = _BitReader(segs[0])
-    preds = [0] * len(comps)
-    n_mcus = mcus_x * mcus_y
-    for mcu in range(n_mcus):
-        if dri and mcu and mcu % dri == 0:
-            seg_idx += 1
-            if seg_idx >= len(segs):
-                raise ValueError("missing JPEG restart segment")
-            reader = _BitReader(segs[seg_idx])
-            preds = [0] * len(comps)
-        my, mx = divmod(mcu, mcus_x)
-        for ci, (cid, hi, vi, tq) in enumerate(comps):
-            dc_id, ac_id = sel[cid]
-            dc_tab = htables.get((0, dc_id))
-            ac_tab = htables.get((1, ac_id))
-            if dc_tab is None or ac_tab is None:
-                raise ValueError("missing Huffman table referenced by scan")
-            qt = qtables[tq]
-            for by in range(vi):
-                for bx in range(hi):
-                    blk = np.zeros(64, dtype=np.float64)
-                    s = reader.read_huff(dc_tab)
-                    if s > 11:
-                        raise ValueError("invalid DC magnitude category")
-                    diff = _extend(reader.read_bits(s), s)
-                    preds[ci] += diff
-                    blk[0] = preds[ci] * qt[0]
-                    k = 1
-                    while k < 64:
-                        sym = reader.read_huff(ac_tab)
-                        r, s = sym >> 4, sym & 15
-                        if s == 0:
-                            if r == 15:  # ZRL: sixteen zeros
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("AC coefficient index overflow")
-                        blk[k] = _extend(reader.read_bits(s), s) * qt[k]
-                        k += 1
-                    coef[ci][my * vi + by, mx * hi + bx] = blk
+    hmax, vmax, mcus_x, mcus_y = geom
+    missing = [c[0] for c in comps if c[0] not in covered]
+    if missing:
+        raise ValueError(f"scan(s) do not cover component(s) {missing}")
     # batched IDCT + reassemble planes
     basis32 = DCT_BASIS.astype(np.float32)
     planes = []
@@ -450,9 +519,18 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         plane = (
             pix.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
         )
-        # upsample to full MCU-grid resolution, then crop to (h, w)
-        plane = np.repeat(np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1)
-        planes.append(plane[:h, :w])
+        # upsample straight to (h, w) by nearest-neighbor index mapping:
+        # output pixel (y, x) reads component sample (y*vi//vmax, x*hi//hmax).
+        # For divisor ratios (4:2:0 etc.) this is exactly pixel replication;
+        # unlike integer-floor np.repeat it is also correct for legal
+        # non-divisor factors (e.g. Y=3x1 with Cb=2x1), which floor repeat
+        # would crash on or silently misplace.
+        if vi != vmax or hi != hmax:
+            ry = (np.arange(h) * vi) // vmax
+            rx = (np.arange(w) * hi) // hmax
+            planes.append(plane[ry][:, rx])
+        else:
+            planes.append(plane[:h, :w])
 
     if len(planes) == 1:
         y = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)

@@ -95,13 +95,9 @@ def _sample_frames_bytes(payload: bytes, n_frames: int, strict: bool = False):
 
     if videocodec.is_avi(payload):
         try:
-            table = videocodec.mjpeg_frame_index(payload)
             return [
-                payload[off : off + size]
-                for off, size in (
-                    table[i]
-                    for i in videocodec.sample_frame_indices(len(table), n_frames)
-                )
+                jpeg
+                for _, jpeg in videocodec.sample_frame_payloads(payload, n_frames)
             ]
         except ValueError:
             if strict:
@@ -265,6 +261,11 @@ def decode_audio(df: DataFrame, payload_col: str = "payload",
                 try:
                     fp = audio_simhash(samples, rate) if with_fingerprint else None
                 except ValueError:  # rate below the fingerprint's band range
+                    if strict:
+                        # same contract as audio_fingerprints(strict=True):
+                        # strict mode surfaces every non-real result instead
+                        # of silently degrading fp to null
+                        raise
                     fp = None
                 rows.append((mid, rate, f["duration_ms"], f["rms"],
                              f["zcr"], f["centroid_hz"], fp))

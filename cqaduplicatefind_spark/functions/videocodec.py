@@ -114,6 +114,21 @@ def sample_frame_indices(total: int, n: int) -> list[int]:
     return [min(int((i + 0.5) * total / n), total - 1) for i in range(n)]
 
 
+def sample_frame_payloads(payload: bytes, n: int) -> list[tuple[int, bytes]]:
+    """AVI bytes -> [(frame_idx, complete JPEG bytes)] for ``n`` evenly-spaced
+    frames: index the container, pick ``sample_frame_indices``, slice only the
+    selected chunks. The single shared recipe behind both
+    ``multimodal._sample_frames_bytes`` (Spark frame sampling) and
+    ``video_simhash`` (clip fingerprinting), so the two paths can never
+    diverge on which frames they extract. Raises ``ValueError`` on non-AVI or
+    misframed payloads."""
+    table = mjpeg_frame_index(payload)
+    return [
+        (i, payload[table[i][0] : table[i][0] + table[i][1]])
+        for i in sample_frame_indices(len(table), n)
+    ]
+
+
 def decode_avi_frames(
     payload: bytes, indices: list[int] | None = None
 ) -> list[tuple[int, np.ndarray]]:
@@ -204,6 +219,15 @@ def ahash64(img: np.ndarray) -> int:
     (integral image, exact block means for any geometry) -> bit per cell,
     1 = above grid mean. The classic public aHash construction: re-encoding,
     mild blur, and resampling flip few bits; unrelated images differ in ~32.
+
+    Flat frames are special-cased: threshold-vs-mean maps EVERY flat frame to
+    hash 0 regardless of level (an all-black and an all-white frame would
+    false-pair at Hamming 0), so frames whose 8x8 grid is essentially constant
+    instead encode their quantized luma as a 64-level thermometer code —
+    Hamming distance between two flat frames equals their level difference
+    (black vs white = 64), and a JPEG re-encode of a flat frame stays flat
+    (DC-only), so near-dup stability is preserved where it matters.
+
     Returns a SIGNED 64-bit int (Spark/DuckDB ``bigint`` convention, same as
     ``audio.audio_simhash``); bit k = row-major cell k."""
     a = np.asarray(img, dtype=np.float64)
@@ -229,6 +253,11 @@ def ahash64(img: np.ndarray) -> int:
     block = s[1:, 1:] - s[:-1, 1:] - s[1:, :-1] + s[:-1, :-1]
     area = np.outer(np.diff(rb), np.diff(cb))
     means = block / area
+    if float(means.max() - means.min()) < 0.5:  # flat: see docstring
+        k = min(max(int(round(float(means.mean()) * 64.0 / 255.0)), 0), 64)
+        sig = np.uint64(0xFFFFFFFFFFFFFFFF) if k >= 64 \
+            else (np.uint64(1) << np.uint64(k)) - np.uint64(1)
+        return int(sig.astype(np.int64))
     bits = (means > means.mean()).astype(np.uint64).ravel()
     weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
     return int((bits * weights).sum(dtype=np.uint64).astype(np.int64))
@@ -242,12 +271,10 @@ def video_simhash(payload: bytes, n_frames: int = 8) -> int:
     kernel, exactly like text SimHash and audio fingerprints. Raises
     ``ValueError`` on malformed/frameless payloads (callers treat those like
     undecodable audio)."""
-    table = mjpeg_frame_index(payload)
-    idxs = sample_frame_indices(len(table), n_frames)
-    if not idxs:
+    sampled = sample_frame_payloads(payload, n_frames)
+    if not sampled:
         raise ValueError("AVI has no video frames")
-    fps = [ahash64(decode_jpeg(payload[o : o + s]))
-           for o, s in (table[i] for i in idxs)]
+    fps = [ahash64(decode_jpeg(jpeg)) for _, jpeg in sampled]
     u = np.array(fps, dtype=np.int64).astype(np.uint64)
     bits = (u[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
     ones = bits.sum(axis=0)
