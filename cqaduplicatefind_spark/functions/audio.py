@@ -269,6 +269,23 @@ def _band_energies(samples: np.ndarray, rate: int) -> np.ndarray:
     return bands
 
 
+def _simhash_from_bands(bands: np.ndarray) -> int:
+    """Band-energy matrix -> the 64-bit fingerprint (see ``audio_simhash``
+    for the bit derivation and its robustness rationale)."""
+    e = np.log(bands + 1e-12)
+    fdiff = e[:, :-1] - e[:, 1:]  # (n_frames, 32) signed margins
+    n = fdiff.shape[0]
+    sig = np.uint64(0)
+    for half, block in ((0, fdiff[: (n + 1) // 2]), (32, fdiff[(n + 1) // 2 :])):
+        if block.shape[0] == 0:
+            continue
+        votes = block.sum(axis=0)
+        for b in range(32):
+            if votes[b] > 0:
+                sig |= np.uint64(1) << np.uint64(half + b)
+    return int(sig.astype(np.int64))
+
+
 def frame_fingerprints(samples: np.ndarray, rate: int) -> np.ndarray:
     """Per-frame 32-bit fingerprint words (Haitsma–Kalker bit derivation):
     bit[b] = sign of the time-and-frequency second difference of log band
@@ -298,15 +315,4 @@ def audio_simhash(samples: np.ndarray, rate: int) -> int:
     Returns a SIGNED 64-bit int (Spark/DuckDB ``bigint`` convention, same as
     ``functions.signatures``) — pair with the same ``bit_count(a ^ b)``
     Hamming kernel the engine uses for SimHash text dedup."""
-    e = np.log(_band_energies(samples, rate) + 1e-12)
-    fdiff = e[:, :-1] - e[:, 1:]  # (n_frames, 32) signed margins
-    n = fdiff.shape[0]
-    sig = np.uint64(0)
-    for half, block in ((0, fdiff[: (n + 1) // 2]), (32, fdiff[(n + 1) // 2 :])):
-        if block.shape[0] == 0:
-            continue
-        votes = block.sum(axis=0)
-        for b in range(32):
-            if votes[b] > 0:
-                sig |= np.uint64(1) << np.uint64(half + b)
-    return int(sig.astype(np.int64))
+    return _simhash_from_bands(_band_energies(samples, rate))

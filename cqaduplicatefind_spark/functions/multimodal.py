@@ -246,7 +246,10 @@ def decode_audio(df: DataFrame, payload_col: str = "payload",
     would re-decode and re-FFT every payload. One narrow Arrow-batched map,
     zero shuffle. ``duration_ms`` is bigint: a decodable low-rate clip can
     exceed int32 milliseconds."""
-    from cqaduplicatefind_spark.functions.audio import audio_features, audio_simhash
+    from cqaduplicatefind_spark.functions.audio import (
+        MIN_FINGERPRINT_RATE,
+        analyze_audio,
+    )
 
     def compute(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -257,18 +260,17 @@ def decode_audio(df: DataFrame, payload_col: str = "payload",
                     rows.append((mid, None, None, None, None, None, None))
                     continue
                 samples, rate = dec
-                f = audio_features(samples, rate)
-                try:
-                    fp = audio_simhash(samples, rate) if with_fingerprint else None
-                except ValueError:  # rate below the fingerprint's band range
-                    if strict:
-                        # same contract as audio_fingerprints(strict=True):
-                        # strict mode surfaces every non-real result instead
-                        # of silently degrading fp to null
-                        raise
-                    fp = None
+                if with_fingerprint and strict and rate < MIN_FINGERPRINT_RATE:
+                    # same contract as audio_fingerprints(strict=True): strict
+                    # mode surfaces every non-real result instead of silently
+                    # degrading fp to null
+                    raise ValueError(
+                        f"sample rate {rate} too low for spectral fingerprint "
+                        f"(< MIN_FINGERPRINT_RATE={MIN_FINGERPRINT_RATE})"
+                    )
+                f = analyze_audio(samples, rate, with_fingerprint=with_fingerprint)
                 rows.append((mid, rate, f["duration_ms"], f["rms"],
-                             f["zcr"], f["centroid_hz"], fp))
+                             f["zcr"], f["centroid_hz"], f["fp"]))
             pdf_out = pd.DataFrame(
                 rows,
                 columns=["media_id", "sample_rate", "duration_ms", "rms",

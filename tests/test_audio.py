@@ -275,3 +275,56 @@ def test_decode_audio_strict_raises_on_undecodable(spark):
     )
     with pytest.raises(Exception, match="audio decode|NotImplementedError"):
         decode_audio(df, strict=True).collect()
+
+
+def test_analyze_audio_single_pass_matches_two_pass():
+    """analyze_audio (one framed FFT pass) must agree exactly with the
+    separate audio_features + audio_simhash calls it replaces in
+    decode_audio(with_fingerprint=True)."""
+    from cqaduplicatefind_spark.functions.audio import analyze_audio
+
+    x = _broadband(3)
+    f = analyze_audio(x, RATE, with_fingerprint=True)
+    g = audio_features(x, RATE)
+    assert f["fp"] == audio_simhash(x, RATE)
+    for k in ("duration_ms", "rms", "zcr", "centroid_hz"):
+        assert f[k] == pytest.approx(g[k])
+    assert analyze_audio(x, RATE)["fp"] is None  # not requested
+    low = analyze_audio(x, 800, with_fingerprint=True)  # below MIN rate
+    assert low["fp"] is None and low["duration_ms"] > 0
+    empty = analyze_audio(np.array([]), RATE, with_fingerprint=True)
+    assert empty["fp"] is None and empty["duration_ms"] == 0
+
+
+def test_chunked_framing_is_chunk_size_invariant(monkeypatch):
+    """The bounded-memory chunked FFT must produce bit-identical fingerprints
+    and (near-)identical centroids regardless of where chunk boundaries fall."""
+    from cqaduplicatefind_spark.functions import audio as audio_mod
+
+    x = _broadband(7)  # ~30 frames at FRAME=2048/HOP=1024
+    ref_fp = audio_simhash(x, RATE)
+    ref_frames = frame_fingerprints(x, RATE)
+    ref_centroid = audio_features(x, RATE)["centroid_hz"]
+    monkeypatch.setattr(audio_mod, "_CHUNK_FRAMES", 3)
+    assert audio_simhash(x, RATE) == ref_fp
+    assert np.array_equal(frame_fingerprints(x, RATE), ref_frames)
+    assert audio_features(x, RATE)["centroid_hz"] == pytest.approx(
+        ref_centroid, rel=1e-9
+    )
+
+
+def test_decode_audio_strict_raises_on_low_rate_fingerprint(spark):
+    """strict + with_fingerprint surfaces a decodable-but-unfingerprints-able
+    clip as an error instead of a silent null fp (same contract as
+    audio_fingerprints(strict=True))."""
+    from cqaduplicatefind_spark.functions.multimodal import decode_audio
+
+    df = spark.createDataFrame(
+        [("slow", bytearray(encode_wav(np.zeros(4000), 800)))],
+        "media_id string, payload binary",
+    )
+    with pytest.raises(Exception, match="too low for spectral fingerprint"):
+        decode_audio(df, strict=True, with_fingerprint=True).collect()
+    # non-strict: row survives with null fp, real features
+    row = decode_audio(df, with_fingerprint=True).collect()[0]
+    assert row.fp is None and row.duration_ms == 5000

@@ -229,3 +229,206 @@ def test_decode_image_dispatches_on_jpeg_magic():
     out = decode_image(encode_jpeg(img, quality=97))
     assert out is not None and out.shape == (8, 8, 3)
     assert np.abs(out.astype(int) - img.astype(int)).max() <= 8
+
+
+# --------------------------------------------------------------------------
+# Multi-scan sequential files (T.81 A.2.2) and general sampling geometry.
+# The public encoder emits only interleaved single-scan streams, so these
+# fixtures are hand-assembled from the encoder's own block/Huffman helpers —
+# the tests pin the DECODER's scan walk, not a reimplemented coefficient path.
+# --------------------------------------------------------------------------
+
+from cqaduplicatefind_spark.functions.jpegcodec import (  # noqa: E402
+    QUANT_CHROMA,
+    QUANT_LUMA,
+    _BitWriter,
+    _encode_block,
+    _fdct_quant,
+    _pad_to,
+    _scaled_qtable,
+)
+
+
+def _ycc(img: np.ndarray):
+    rgb = img.astype(np.float64)
+    r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+    return (
+        0.299 * r + 0.587 * g + 0.114 * b,
+        128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+        128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+    )
+
+
+def _assemble_jpeg(h, w, comps, scans, restart_interval=0):
+    """``comps``: list of (plane float64 with dims divisible by 8, (hi, vi),
+    chroma_tables: bool). ``scans``: list of component-index lists — each
+    becomes one SOS, coded interleaved (MCU walk) when it names more than one
+    component and non-interleaved (raster over the component's own ceil'd
+    block grid) otherwise."""
+    qt_l = _scaled_qtable(QUANT_LUMA, 90)
+    qt_c = _scaled_qtable(QUANT_CHROMA, 90)
+    samps = [s for _, s, _ in comps]
+    quant = [
+        _fdct_quant(plane, (qt_c if chroma else qt_l)[ZIGZAG])
+        for plane, _, chroma in comps
+    ]
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    tables = [
+        (_canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS),
+         _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)),
+        (_canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS),
+         _canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)),
+    ]
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes(qt_l[ZIGZAG].astype(np.uint8)))
+    out += seg(0xDB, bytes([0x01]) + bytes(qt_c[ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for ci, ((hi, vi), (_, _, chroma)) in enumerate(zip(samps, comps)):
+        sof += bytes([ci + 1, (hi << 4) | vi, 1 if chroma else 0])
+    out += seg(0xC0, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS))
+    out += seg(0xC4, bytes([0x10]) + bytes(AC_LUMA_BITS) + bytes(AC_LUMA_VALS))
+    out += seg(0xC4, bytes([0x01]) + bytes(DC_CHROMA_BITS) + bytes(DC_CHROMA_VALS))
+    out += seg(0xC4, bytes([0x11]) + bytes(AC_CHROMA_BITS) + bytes(AC_CHROMA_VALS))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    for scan in scans:
+        sos = bytes([len(scan)])
+        for ci in scan:
+            t = 1 if comps[ci][2] else 0
+            sos += bytes([ci + 1, (t << 4) | t])
+        sos += bytes([0, 63, 0])
+        out += seg(0xDA, sos)
+        wr = _BitWriter()
+        preds = [0] * len(comps)
+        rst = 0
+        if len(scan) > 1:
+            n_units = mcus_x * mcus_y
+        else:
+            hi0, vi0 = samps[scan[0]]
+            bx_n = -(-(w * hi0) // (hmax * 8))
+            by_n = -(-(h * vi0) // (vmax * 8))
+            n_units = bx_n * by_n
+        for unit in range(n_units):
+            if restart_interval and unit and unit % restart_interval == 0:
+                wr.byte_align()
+                wr.out.extend(bytes([0xFF, 0xD0 + rst]))
+                rst = (rst + 1) % 8
+                preds = [0] * len(comps)
+            if len(scan) > 1:
+                my, mx = divmod(unit, mcus_x)
+                for ci in scan:
+                    hi, vi = samps[ci]
+                    dc_codes, ac_codes = tables[1 if comps[ci][2] else 0]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            preds[ci] = _encode_block(
+                                wr, quant[ci][my * vi + by, mx * hi + bx],
+                                preds[ci], dc_codes, ac_codes,
+                            )
+            else:
+                ci = scan[0]
+                by, bx = divmod(unit, bx_n)
+                dc_codes, ac_codes = tables[1 if comps[ci][2] else 0]
+                preds[ci] = _encode_block(
+                    wr, quant[ci][by, bx], preds[ci], dc_codes, ac_codes,
+                )
+        wr.byte_align()
+        out += wr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_multi_scan_sequential_equals_single_scan_444():
+    img = _smooth_rgb(37, 45)
+    h, w = img.shape[:2]
+    y, cb, cr = _ycc(img)
+    comps = [
+        (_pad_to(y, 8), (1, 1), False),
+        (_pad_to(cb, 8), (1, 1), True),
+        (_pad_to(cr, 8), (1, 1), True),
+    ]
+    single = _assemble_jpeg(h, w, comps, [[0, 1, 2]])
+    multi = _assemble_jpeg(h, w, comps, [[0], [1], [2]])
+    ref = decode_jpeg(single)
+    assert np.array_equal(decode_jpeg(multi), ref)
+    # the assembler itself agrees with the public encoder on the same input
+    assert np.array_equal(ref, decode_jpeg(encode_jpeg(img, quality=90)))
+
+
+def test_multi_scan_sequential_420_with_restarts():
+    """Subsampled multi-scan: each scan rasters its COMPONENT's ceil'd block
+    grid (not the MCU-padded grid) and restart intervals count data units."""
+    img = _smooth_rgb(24, 40)  # Y: 3x5 coded blocks vs 4x6 MCU-padded
+    h, w = img.shape[:2]
+    y, cb, cr = _ycc(img)
+    ype = _pad_to(y, 16)
+    cbp, crp = _pad_to(cb, 2), _pad_to(cr, 2)
+
+    def box2(p):
+        return _pad_to(
+            (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0,
+            8,
+        )[: ype.shape[0] // 2, : ype.shape[1] // 2]
+
+    comps = [
+        (ype, (2, 2), False),
+        (box2(cbp), (1, 1), True),
+        (box2(crp), (1, 1), True),
+    ]
+    single = _assemble_jpeg(h, w, comps, [[0, 1, 2]])
+    multi = _assemble_jpeg(h, w, comps, [[0], [1], [2]], restart_interval=2)
+    assert np.array_equal(decode_jpeg(multi), decode_jpeg(single))
+    assert np.array_equal(
+        decode_jpeg(single),
+        decode_jpeg(encode_jpeg(img, quality=90, subsample=True)),
+    )
+
+
+def test_multi_scan_rejects_double_coded_component():
+    img = _smooth_rgb(16, 16)
+    y, cb, cr = _ycc(img)
+    comps = [
+        (_pad_to(y, 8), (1, 1), False),
+        (_pad_to(cb, 8), (1, 1), True),
+        (_pad_to(cr, 8), (1, 1), True),
+    ]
+    dup = _assemble_jpeg(16, 16, comps, [[0], [1], [0]])
+    with pytest.raises(ValueError, match="more than one scan"):
+        decode_jpeg(dup)
+    partial = _assemble_jpeg(16, 16, comps, [[0], [1]])
+    with pytest.raises(ValueError, match="do not cover"):
+        decode_jpeg(partial)
+
+
+def test_non_divisor_sampling_factors_decode():
+    """Y=3x1 / Cb=2x1 / Cr=1x1 — legal per T.81 but the chroma upsample is a
+    fractional 3/2 ratio that integer pixel replication cannot express; the
+    index-mapped nearest-neighbor upsample must place the Cb step at
+    output x = 24 (smallest x with (x*2)//3 >= 16)."""
+    h, w = 16, 48
+    # constant everything except a block-aligned step in the Cb plane
+    y_plane = np.full((16, 48), 128.0)
+    cb_plane = np.full((16, 32), 64.0)
+    cb_plane[:, 16:] = 192.0
+    cr_plane = np.full((16, 16), 128.0)
+    comps = [
+        (y_plane, (3, 1), False),
+        (cb_plane, (2, 1), True),
+        (cr_plane, (1, 1), True),
+    ]
+    out = decode_jpeg(_assemble_jpeg(h, w, comps, [[0, 1, 2]]))
+    assert out.shape == (h, w, 3)
+    # red is untouched by Cb; Cr constant at 128 contributes nothing
+    assert np.abs(out[:, :, 0].astype(int) - 128).max() <= 2
+    # blue = y + 1.772*(cb-128): ~14.6 left of the step, ~241.4 right of it
+    assert np.abs(out[:, :24, 2].astype(int) - 15).max() <= 3
+    assert np.abs(out[:, 24:, 2].astype(int) - 241).max() <= 3

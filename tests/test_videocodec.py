@@ -242,3 +242,37 @@ def test_video_fingerprints_drops_undecodable_keeps_avi(spark):
     assert set(rows) == {"v1", "v2", "v3"}  # mp4 dropped, not false-paired
     assert rows["v1"] == rows["v2"]  # identical clips -> identical fp
     assert _hamming(rows["v1"], rows["v3"]) >= 16
+
+
+def test_ahash_flat_frames_encode_luma_as_thermometer():
+    """Flat frames must NOT all collide at hash 0: the thermometer special
+    case makes Hamming distance between two flat frames equal their quantized
+    luma-level difference, while a JPEG re-encode (which keeps a flat frame
+    flat) stays within a bit or two."""
+    black = np.zeros((24, 32, 3), np.uint8)
+    white = np.full((24, 32, 3), 255, np.uint8)
+    gray = np.full((24, 32, 3), 128, np.uint8)
+    hb, hw, hg = ahash64(black), ahash64(white), ahash64(gray)
+    assert _hamming(hb, hw) == 64  # plain threshold-vs-mean gave 0
+    k = round(128 * 64 / 255)
+    assert _hamming(hb, hg) == k
+    assert _hamming(hg, hw) == 64 - k
+    # near levels stay near, re-encode stays near (flat survives JPEG)
+    assert _hamming(ahash64(np.full((24, 32, 3), 130, np.uint8)), hg) <= 2
+    re = decode_jpeg(encode_jpeg(gray, quality=85))
+    assert _hamming(ahash64(re), hg) <= 2
+
+
+def test_sample_frame_payloads_shared_by_simhash_and_spark_path():
+    """video_simhash and the Spark frame-sampling path must extract the SAME
+    frames: both ride videocodec.sample_frame_payloads."""
+    frames = _gradient_frames(7)
+    avi = encode_avi_mjpeg(frames, fps=5, quality=95)
+    sampled = videocodec.sample_frame_payloads(avi, 3)
+    assert [i for i, _ in sampled] == sample_frame_indices(7, 3)
+    table = mjpeg_frame_index(avi)
+    for i, jpeg in sampled:
+        off, size = table[i]
+        assert jpeg == avi[off : off + size]
+    with pytest.raises(ValueError):
+        videocodec.sample_frame_payloads(b"RIFFxxxxNOPE", 3)
