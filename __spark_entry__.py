@@ -415,6 +415,63 @@ def q_ngram_jaccard(spark, sf):
 
 
 @_register(
+    "ngram_containment_pairs",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    idx AS (SELECT doc_id, t, unnest(range(len(t) - 2)) AS i FROM toks),
+    allgrams AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(t, i + 1, i + 3), ' ') AS g
+      FROM idx
+    ),
+    grams AS (
+      SELECT doc_id, g FROM allgrams
+      QUALIFY count(*) OVER (PARTITION BY g) <= 1000
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM grams a JOIN grams b USING (g)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    paired AS (
+      SELECT id_a, id_b, c, sa.n AS na, sb.n AS nb
+      FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+    )
+    SELECT id_a AS inner_id, id_b AS outer_id,
+           round(c * 1.0 / na, 6) AS containment
+    FROM paired WHERE na >= 20 AND c * 1.0 / na >= 0.9
+    UNION ALL
+    SELECT id_b AS inner_id, id_a AS outer_id,
+           round(c * 1.0 / nb, 6) AS containment
+    FROM paired WHERE nb >= 20 AND c * 1.0 / nb >= 0.9
+    """,
+)
+def q_ngram_containment(spark, sf):
+    """Directed near-subset pairs: |inner ∩ outer| / |inner| >= 0.9 over the
+    DF-capped distinct 3-gram universe — the asymmetric complement of
+    ngram_jaccard_pairs (a page wrapping another page plus boilerplate has
+    high containment but low Jaccard when the outer page is much larger).
+    Set-level query form of the pipeline's containment accept arm
+    (operators/verify.py) and winnowing span pass."""
+    from cqaduplicatefind_spark.operators.ngram import ngram_containment_pairs
+
+    return ngram_containment_pairs(
+        _read(spark, sf, "documents"),
+        n=3,
+        min_containment=0.9,
+        min_grams=20,
+        df_cap=1000,
+    )
+
+
+@_register(
     "minhash_md5_signatures",
     """
     WITH toks AS (

@@ -78,3 +78,56 @@ def ngram_jaccard_pairs(
         .where(j >= min_jaccard)
         .select("id_a", "id_b", F.round(j, 6).alias("jaccard"))
     )
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    min_containment: float = 0.9,
+    min_grams: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    df_cap: int | None = 1000,
+) -> DataFrame:
+    """(inner_id, outer_id, containment): DIRECTED near-subset pairs where
+    ``containment = |inner ∩ outer| / |inner| >= min_containment`` over the
+    DF-capped distinct-gram universe.
+
+    The asymmetric complement of :func:`ngram_jaccard_pairs`: a page whose
+    content is another page wrapped in boilerplate has high containment but
+    low Jaccard when the outer page is much larger, so symmetric dedup misses
+    it (the same blind spot the pipeline's winnowing span pass exists for —
+    this is the exact set-level query form of that capability, with a SQL
+    oracle). ``min_grams`` floors the inner doc's capped-gram count: tiny
+    gram sets are trivially contained and carry no signal. Same skew story as
+    the Jaccard query — the gram self-join is DF-capped, everything else is
+    per-pair arithmetic."""
+    grams = doc_ngrams(docs, n, id_col, text_col, df_cap)
+    sizes = grams.groupBy("id").agg(F.count("*").alias("n"))
+    a = grams.select(F.col("id").alias("id_a"), "g")
+    b = grams.select(F.col("id").alias("id_b"), "g")
+    inter = (
+        a.join(b, "g")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("c"))
+    )
+    both = inter.join(
+        sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a"
+    ).join(
+        sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b"
+    )
+
+    def directed(inner_id, outer_id, inner_n):
+        cont = F.col("c") / F.col(inner_n)
+        return both.where(
+            (F.col(inner_n) >= min_grams) & (cont >= min_containment)
+        ).select(
+            F.col(inner_id).alias("inner_id"),
+            F.col(outer_id).alias("outer_id"),
+            F.round(cont, 6).alias("containment"),
+        )
+
+    return directed("id_a", "id_b", "na").unionByName(
+        directed("id_b", "id_a", "nb")
+    )

@@ -225,3 +225,42 @@ def test_hot_gram_capped_in_ngram_jaccard(spark):
     tiny = spark.createDataFrame(rows[:20], "doc_id long, text string")
     uncapped = ngram_jaccard_pairs(tiny, 3, min_jaccard=0.01, df_cap=None)
     assert uncapped.count() == 190  # C(20,2): every pair shares the hot gram
+
+
+def test_ngram_containment_directed_asymmetric(spark):
+    """A small doc embedded verbatim in a much larger doc has containment 1.0
+    (inner=small) but low Jaccard — the directed query must emit exactly the
+    small→large direction, not the reverse."""
+    from cqaduplicatefind_spark.operators.ngram import ngram_containment_pairs
+
+    inner_toks = [f"w{i}" for i in range(30)]
+    outer_toks = inner_toks + [f"pad{i}" for i in range(300)]
+    unrelated = [f"z{i}" for i in range(40)]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(inner_toks)),
+            (2, " ".join(outer_toks)),
+            (3, " ".join(unrelated)),
+        ],
+        "doc_id long, text string",
+    )
+    out = ngram_containment_pairs(
+        docs, n=3, min_containment=0.9, min_grams=20, df_cap=None
+    ).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert (row.inner_id, row.outer_id) == (1, 2)
+    assert row.containment == 1.0
+    # symmetric Jaccard would be ~28/330 — far below any dedup threshold,
+    # which is exactly why the directed form exists
+    # min_grams floors trivial containment: a 21-token doc has 19 grams < 20
+    tiny = spark.createDataFrame(
+        [(1, " ".join(inner_toks[:21])), (2, " ".join(outer_toks))],
+        "doc_id long, text string",
+    )
+    assert (
+        ngram_containment_pairs(
+            tiny, n=3, min_containment=0.9, min_grams=20, df_cap=None
+        ).count()
+        == 0
+    )
