@@ -472,6 +472,66 @@ def q_ngram_containment(spark, sf):
 
 
 @_register(
+    "bm25_topk_retrieval",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    stats AS (SELECT count(*) AS n_docs, avg(len(t)) AS avgdl FROM toks),
+    postings0 AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks),
+    postings AS (
+      SELECT doc_id, dl, term, count(*) AS tf
+      FROM postings0 GROUP BY doc_id, dl, term
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+    idf_raw AS (
+      SELECT term, df, ln((s.n_docs - df + 0.5) / (df + 0.5)) AS r
+      FROM dfreq, stats s
+    ),
+    aidf AS (SELECT avg(r) AS a FROM idf_raw),
+    idf AS (
+      SELECT term, CASE WHEN r > 0 THEN r ELSE 0.25 * a END AS idf
+      FROM idf_raw, aidf
+    ),
+    qterms0 AS (SELECT doc_id AS qid, unnest(t) AS term FROM toks WHERE doc_id < 20),
+    qterms AS (SELECT qid, term, count(*) AS q_mult FROM qterms0 GROUP BY qid, term),
+    scored AS (
+      SELECT q.qid, p.doc_id AS cand,
+             round(sum(q.q_mult * i.idf * p.tf * 2.5 /
+                 (p.tf + 1.5 * (0.25 + 0.75 * p.dl / s.avgdl))), 6) AS bm25
+      FROM qterms q
+        JOIN idf i USING (term)
+        JOIN postings p USING (term)
+        CROSS JOIN stats s
+      WHERE p.doc_id <> q.qid
+      GROUP BY q.qid, p.doc_id
+    )
+    SELECT query_id, candidate_id, bm25, rank FROM (
+      SELECT qid AS query_id, cand AS candidate_id, bm25,
+             row_number() OVER (PARTITION BY qid ORDER BY bm25 DESC, cand) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def q_bm25_topk(spark, sf):
+    """The reference's BM25Okapi candidate generator (src/BM25DuplicateRetriever.py:
+    46-63) as a distributed inverted-index join: query terms × postings on the
+    term key, map-side-combinable per-(query, doc) sum, per-query window top-10.
+    Scores round to 6dp before ranking (deterministic across engines). The
+    testdata vocabulary is tiny (31 terms), so the hot-term df_cap guard would
+    degenerate here — its semantics are pinned in tests/test_bm25.py instead."""
+    from cqaduplicatefind_spark.operators.bm25 import bm25_topk
+
+    docs = _read(spark, sf, "documents")
+    return bm25_topk(
+        docs,
+        queries=docs.where(F.col("doc_id") < 20),
+        k=10,
+    )
+
+
+@_register(
     "minhash_md5_signatures",
     """
     WITH toks AS (
