@@ -198,3 +198,15 @@ def test_unigram_lm_head_join_broadcasts(spark):
     assert len(set(tok_exchanges)) <= 2, plan  # tail join: two sides max
     for h in handles:
         h.unpersist()
+
+
+def test_bm25_plan_partial_agg_and_group_limit(spark, queries):
+    """BM25's per-(query, doc) sum must combine map-side (one row per group per
+    task crosses the shuffle, not one per posting match) and the top-k must run
+    as WindowGroupLimit (partial per-task truncation before the qid exchange —
+    never a full rank materialization)."""
+    plan = plan_of(queries["bm25_topk_retrieval"](spark, SF))
+    assert "partial_sum" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    # corpus-stat frames (N/avgdl, avg_idf) ride broadcast, never a shuffle
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
