@@ -274,6 +274,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "retrieval_metrics_p_at_k",
         "unigram_logprob_quality",
         "c4_clean_docs",
+        "bm25_topk_retrieval",
     ]
     qs = entry_mod.queries()
     out = {}
