@@ -2342,6 +2342,66 @@ def q_line_dedup_docs(spark, sf):
     )
 
 
+# deterministic pages with *within-document* repeats for the intra-doc line
+# tier: the nav header appears twice in every page (second copy must go),
+# every third doc re-pastes its own body (must go), the constant closing line
+# appears once per doc (must stay — cross-doc frequency is irrelevant here),
+# and two blank lines ride along (whitespace-only lines are structure, always
+# preserved). Identical construction restated in both engines.
+_IDL_PAGE_SQL = (
+    "'home | about | news | contact' || chr(10) || '' || chr(10) || text"
+    " || chr(10) || 'home | about | news | contact'"
+    " || chr(10) || CASE WHEN doc_id % 3 = 0 THEN text"
+    "               ELSE 'a closing line of words' END"
+    " || chr(10) || '' || chr(10) || 'all rights reserved'"
+)
+
+
+@_register(
+    "intra_doc_line_dedup",
+    f"""
+    WITH pages AS (SELECT doc_id, {_IDL_PAGE_SQL} AS page FROM documents),
+    ls AS (SELECT doc_id, string_split(page, chr(10)) AS lines FROM pages),
+    k AS (
+      SELECT doc_id, lines,
+        list_filter(lines, (x, i) -> trim(x) = ''
+          OR len(list_filter(lines[1:i-1], y -> y = x)) = 0) AS kept
+      FROM ls
+    )
+    SELECT doc_id, array_to_string(kept, chr(10)) AS text,
+           len(lines) - len(kept) AS n_lines_removed
+    FROM k
+    """,
+)
+def q_intra_doc_line_dedup(spark, sf):
+    """Exact intra-document line dedup (operators/linededup.py
+    dedup_lines_within_doc, RefinedWeb-style): within each page keep the
+    first occurrence of every repeated line, preserve whitespace-only lines
+    and order, report lines removed — hash-matched against a DuckDB
+    indexed-lambda restatement over identical synthesized pages. The
+    within-row complement to the cross-document boilerplate tier: a ONE-page
+    repeat never crosses a distinct-doc frequency threshold. Zero exchanges,
+    zero Python — one codegen projection over the scan (plan pinned in
+    tests/test_linededup.py). No reference analog (SURVEY §2)."""
+    from cqaduplicatefind_spark.operators.linededup import dedup_lines_within_doc
+
+    docs = _read(spark, sf, "documents")
+    page = F.concat_ws(
+        "\n",
+        F.lit("home | about | news | contact"),
+        F.lit(""),
+        F.col("text"),
+        F.lit("home | about | news | contact"),
+        F.when(F.col("doc_id") % 3 == 0, F.col("text")).otherwise(
+            F.lit("a closing line of words")
+        ),
+        F.lit(""),
+        F.lit("all rights reserved"),
+    )
+    pages = docs.select("doc_id", page.alias("text"))
+    return dedup_lines_within_doc(pages, id_col="doc_id", text_col="text")
+
+
 # ---------- C4 rule-based cleaning (operators/c4_rules.py) ----------
 
 # deterministic pages exercising every C4 rule: a kept prose line, the word-

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from cqaduplicatefind_spark.operators.linededup import (
     boilerplate_lines,
+    dedup_lines_within_doc,
     line_doc_freq,
     remove_boilerplate_lines,
 )
@@ -156,6 +157,62 @@ def test_removal_persist_handle(spark):
     assert len(handles) == 1 and handles[0].storageLevel.useMemory
     handles[0].unpersist()
     assert not handles[0].storageLevel.useMemory
+
+
+def test_intra_doc_dedup_semantics(spark):
+    """Within-page exact line dedup: first occurrence survives, later repeats
+    go, whitespace-only lines are structure and ALWAYS survive (even when
+    repeated), order is byte-preserved, and a line repeated only within one
+    page is removed even though it could never cross a cross-document
+    frequency threshold."""
+    docs = spark.createDataFrame(
+        [
+            # nav twice, body re-pasted, two blank lines, a tab-only line
+            ("p1", "nav bar\nalpha\n\nnav bar\nalpha\n\n\t\nomega"),
+            # no repeats at all — identity, 0 removed
+            ("p2", "one\ntwo\nthree"),
+            # repeated blank-ish lines only — all preserved
+            ("p3", "\n\n  \n  "),
+        ],
+        "url string, text string",
+    )
+    rows = {r.url: r for r in dedup_lines_within_doc(docs).collect()}
+    assert rows["p1"].text == "nav bar\nalpha\n\n\n\t\nomega"
+    assert rows["p1"].n_lines_removed == 2  # second nav + second alpha
+    assert rows["p2"].text == "one\ntwo\nthree"
+    assert rows["p2"].n_lines_removed == 0
+    assert rows["p3"].text == "\n\n  \n  "  # whitespace-only lines untouched
+    assert rows["p3"].n_lines_removed == 0
+
+
+def test_intra_doc_dedup_null_and_crlf(spark):
+    """NULL text is the empty document (survives with '', 0 removed); CRLF
+    lines are byte-distinct from their bare-LF twins and must NOT dedup
+    against them (the C4 CRLF lesson: trimming here would change bytes)."""
+    docs = spark.createDataFrame(
+        [("dnull", None), ("dcrlf", "foo\r\nfoo\nfoo\r")],
+        "url string, text string",
+    )
+    rows = {r.url: r for r in dedup_lines_within_doc(docs).collect()}
+    assert rows["dnull"].text == "" and rows["dnull"].n_lines_removed == 0
+    # split on \n: ["foo\r", "foo", "foo\r"] — only the second foo\r repeats
+    assert rows["dcrlf"].text == "foo\r\nfoo"
+    assert rows["dcrlf"].n_lines_removed == 1
+
+
+def test_intra_doc_dedup_is_shuffle_free(spark):
+    """The tier must be ONE codegen projection: no Exchange, no Window, no
+    Python — a map over the scan at any corpus size."""
+    docs = spark.range(500).select(
+        F.col("id").cast("string").alias("url"),
+        F.concat(F.lit("nav\nbody "), F.col("id").cast("string"),
+                 F.lit("\nnav")).alias("text"),
+    )
+    out = dedup_lines_within_doc(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert out.where(F.col("n_lines_removed") != 1).count() == 0
 
 
 def test_removal_uses_broadcast_anti_join(spark):
