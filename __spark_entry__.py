@@ -475,7 +475,8 @@ def q_ngram_containment(spark, sf):
     "bm25_topk_retrieval",
     """
     WITH toks AS (
-      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
       FROM documents
     ),
     stats AS (SELECT count(*) AS n_docs, avg(len(t)) AS avgdl FROM toks),
@@ -528,6 +529,10 @@ def q_bm25_topk(spark, sf):
         docs,
         queries=docs.where(F.col("doc_id") < 20),
         k=10,
+        # the query table IS corpus rows (same id = same document), so the
+        # trivial self-hit must be dropped; with an independent query table
+        # the default leaves id-colliding candidates alone
+        exclude_self=True,
     )
 
 
@@ -2348,10 +2353,15 @@ def q_line_dedup_docs(spark, sf):
 # appears once per doc (must stay — cross-doc frequency is irrelevant here),
 # and two blank lines ride along (whitespace-only lines are structure, always
 # preserved). Identical construction restated in both engines.
+# NULL-parity note: `||` propagates NULL in DuckDB while Spark's concat_ws
+# SKIPS null arguments (dropping the line slot entirely), so a NULL-text row
+# would diverge between the twins — both sides coalesce text to '' (an empty
+# line at the same position, preserved as whitespace by the tier under test)
 _IDL_PAGE_SQL = (
-    "'home | about | news | contact' || chr(10) || '' || chr(10) || text"
+    "'home | about | news | contact' || chr(10) || '' || chr(10)"
+    " || coalesce(text, '')"
     " || chr(10) || 'home | about | news | contact'"
-    " || chr(10) || CASE WHEN doc_id % 3 = 0 THEN text"
+    " || chr(10) || CASE WHEN doc_id % 3 = 0 THEN coalesce(text, '')"
     "               ELSE 'a closing line of words' END"
     " || chr(10) || '' || chr(10) || 'all rights reserved'"
 )
@@ -2390,9 +2400,9 @@ def q_intra_doc_line_dedup(spark, sf):
         "\n",
         F.lit("home | about | news | contact"),
         F.lit(""),
-        F.col("text"),
+        F.coalesce(F.col("text"), F.lit("")),
         F.lit("home | about | news | contact"),
-        F.when(F.col("doc_id") % 3 == 0, F.col("text")).otherwise(
+        F.when(F.col("doc_id") % 3 == 0, F.coalesce(F.col("text"), F.lit(""))).otherwise(
             F.lit("a closing line of words")
         ),
         F.lit(""),

@@ -36,11 +36,15 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 
 def _tokens(df: DataFrame, id_col: str, text_col: str, out_id: str) -> DataFrame:
-    """(out_id, t): whitespace tokens, empties dropped (Python ``str.split()``
-    semantics — the reference tokenizes with bare ``.split()``)."""
+    """(out_id, t): whitespace tokens, empties dropped — Python ``str.split()``
+    semantics (any whitespace run is a boundary). The reference tokenizes with
+    ``doc.split(" ")`` (src/BM25DuplicateRetriever.py:46,59) over corpora its
+    normalization pass has already single-spaced, where the two agree;
+    splitting on ``\\s+`` extends the same semantics correctly to raw crawl
+    text (a single-space split would glue tokens across tabs/newlines)."""
     return df.select(
         F.col(id_col).alias(out_id),
-        F.filter(F.split(text_col, " "), lambda x: x != "").alias("t"),
+        F.filter(F.split(text_col, r"\s+"), lambda x: x != "").alias("t"),
     )
 
 
@@ -54,7 +58,7 @@ def bm25_topk(
     df_cap: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
-    exclude_self: bool = True,
+    exclude_self: bool | None = None,
 ) -> DataFrame:
     """(query_id, candidate_id, bm25, rank): top-``k`` corpus docs per query by
     BM25Okapi score (ties broken by candidate id; zero-score docs never appear
@@ -62,10 +66,16 @@ def bm25_topk(
     top-10 slice treats all-zero rows as noise).
 
     ``queries=None`` is self-retrieval (every doc queries the corpus);
-    ``exclude_self`` drops the trivial qid==doc hit. Corpus statistics (df,
-    idf, avgdl) come from ``docs`` alone — query-only terms score 0, like
-    ``rank_bm25``.
+    ``exclude_self`` drops the qid==doc_id hit. Its default (``None``) means
+    "exclude iff self-retrieval": with an INDEPENDENT query table the ids are
+    unrelated, and filtering on id equality would silently drop a legitimate
+    (possibly top-1) candidate that happens to share a number with the query.
+    Pass ``exclude_self=True`` explicitly when ``queries`` is a subset of the
+    corpus rows (same id = same document). Corpus statistics (df, idf, avgdl)
+    come from ``docs`` alone — query-only terms score 0, like ``rank_bm25``.
     """
+    if exclude_self is None:
+        exclude_self = queries is None
     corpus = _tokens(docs, id_col, text_col, "doc_id")
     qtoks = _tokens(queries if queries is not None else docs, id_col, text_col, "qid")
 

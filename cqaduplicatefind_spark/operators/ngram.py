@@ -49,16 +49,20 @@ def doc_ngrams(
     return grams
 
 
-def ngram_jaccard_pairs(
+def _pair_intersections(
     docs: DataFrame,
-    n: int = 3,
-    min_jaccard: float = 0.5,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    df_cap: int | None = 1000,
+    n: int,
+    id_col: str,
+    text_col: str,
+    df_cap: int | None,
 ) -> DataFrame:
-    """(id_a, id_b, jaccard) for pairs with exact n-gram Jaccard >= min_jaccard,
-    computed over the DF-capped gram universe."""
+    """Shared pair kernel for the set-similarity queries: canonical pairs
+    (id_a < id_b) sharing >= 1 DF-capped gram, with the intersection count
+    ``c`` and both sides' capped-gram-set sizes ``na``/``nb``. The DF-capped
+    gram self-join is the one skew-guarded shuffle; both the symmetric
+    (Jaccard) and directed (containment) queries are per-pair arithmetic over
+    this frame — a fix to the skew guard or pair canonicalization lands in
+    both automatically."""
     grams = doc_ngrams(docs, n, id_col, text_col, df_cap)
     sizes = grams.groupBy("id").agg(F.count("*").alias("n"))
     a = grams.select(F.col("id").alias("id_a"), "g")
@@ -69,14 +73,27 @@ def ngram_jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("c"))
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+    return inter.join(
+        sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a"
+    ).join(
+        sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b"
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    min_jaccard: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    df_cap: int | None = 1000,
+) -> DataFrame:
+    """(id_a, id_b, jaccard) for pairs with exact n-gram Jaccard >= min_jaccard,
+    computed over the DF-capped gram universe."""
+    both = _pair_intersections(docs, n, id_col, text_col, df_cap)
     j = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .where(j >= min_jaccard)
-        .select("id_a", "id_b", F.round(j, 6).alias("jaccard"))
+    return both.where(j >= min_jaccard).select(
+        "id_a", "id_b", F.round(j, 6).alias("jaccard")
     )
 
 
@@ -100,23 +117,9 @@ def ngram_containment_pairs(
     this is the exact set-level query form of that capability, with a SQL
     oracle). ``min_grams`` floors the inner doc's capped-gram count: tiny
     gram sets are trivially contained and carry no signal. Same skew story as
-    the Jaccard query — the gram self-join is DF-capped, everything else is
-    per-pair arithmetic."""
-    grams = doc_ngrams(docs, n, id_col, text_col, df_cap)
-    sizes = grams.groupBy("id").agg(F.count("*").alias("n"))
-    a = grams.select(F.col("id").alias("id_a"), "g")
-    b = grams.select(F.col("id").alias("id_b"), "g")
-    inter = (
-        a.join(b, "g")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("c"))
-    )
-    both = inter.join(
-        sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a"
-    ).join(
-        sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b"
-    )
+    the Jaccard query — the shared ``_pair_intersections`` kernel DF-caps the
+    gram self-join, everything here is per-pair arithmetic."""
+    both = _pair_intersections(docs, n, id_col, text_col, df_cap)
 
     def directed(inner_id, outer_id, inner_n):
         cont = F.col("c") / F.col(inner_n)

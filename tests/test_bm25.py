@@ -106,6 +106,42 @@ def test_bm25_df_cap_drops_hot_terms_only(spark):
     assert uncapped[3] > capped[0].bm25
 
 
+def test_bm25_whitespace_tokenization(spark):
+    """Tabs/newlines are token boundaries (str.split() semantics): a doc
+    written with mixed whitespace scores identically to its single-spaced
+    twin, and 'end.\\nStart' never fuses into one term."""
+    single = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta beta")], "doc_id long, text string"
+    )
+    mixed = spark.createDataFrame(
+        [(1, "alpha\tbeta\n gamma"), (2, "delta  beta")],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame([(9, "beta\ngamma")], "doc_id long, text string")
+    want = {(r.candidate_id, r.bm25) for r in bm25_topk(single, q, k=5).collect()}
+    got = {(r.candidate_id, r.bm25) for r in bm25_topk(mixed, q, k=5).collect()}
+    assert got == want and len(got) == 2
+
+
+def test_bm25_external_query_id_collision_not_excluded(spark):
+    """With an INDEPENDENT query table, an id-colliding corpus doc is a
+    legitimate candidate: query 2 must still retrieve corpus doc 2 (the
+    self-exclusion default applies only to self-retrieval, where same id
+    means same document)."""
+    docs = spark.createDataFrame(
+        [(1, "apple pie"), (2, "banana split"), (3, "cherry cake")],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame([(2, "banana")], "doc_id long, text string")
+    out = bm25_topk(docs, q, k=5).collect()
+    assert [(r.query_id, r.candidate_id) for r in out] == [(2, 2)]
+    # explicit opt-in restores the corpus-subset semantics
+    assert bm25_topk(docs, q, k=5, exclude_self=True).count() == 0
+    # and self-retrieval still excludes the trivial hit by default
+    self_out = bm25_topk(docs, k=5).collect()
+    assert all(r.query_id != r.candidate_id for r in self_out)
+
+
 def test_bm25_topk_rank_and_tiebreak(spark):
     """Identical docs tie exactly; rank breaks by candidate id ascending and
     k truncates."""
