@@ -727,7 +727,8 @@ def q_quality(spark, sf):
     "unigram_logprob_quality",
     """
     WITH tk AS (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+      FROM documents
     ),
     tf AS (
       SELECT doc_id, tok, count(*) AS tf FROM tk WHERE tok <> ''
@@ -2845,7 +2846,8 @@ def q_cap_per_host(spark, sf):
       WHERE round(coalesce(m2.f, 0.0), 6) <= 0.12
     ),
     surv AS (SELECT c.doc_id, c.source, c.text FROM clean c JOIN keep USING (doc_id)),
-    lmtk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM surv),
+    lmtk AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+             FROM surv),
     lmtf AS (SELECT doc_id, tok, count(*) AS tf FROM lmtk WHERE tok <> ''
              GROUP BY doc_id, tok),
     lmcnt AS (SELECT tok, sum(tf) AS c FROM lmtf GROUP BY tok),

@@ -52,7 +52,10 @@ def cosine_col(a, b):
     nb = F.sqrt(
         F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
     )
-    return dot / (na * nb)
+    # zero-norm guard: a zero vector's cosine vs anything is 0 by the module
+    # convention (_norm_rows agrees), NOT NULL — and under ANSI mode a plain
+    # divide would raise DIVIDE_BY_ZERO instead of silently dropping the row
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
 
 
 def cosine_topk(
@@ -82,14 +85,35 @@ def cosine_topk(
 
 def _hyperplanes(dim: int, bits: int, table: int, seed: int) -> np.ndarray:
     """(bits, dim) deterministic pseudo-gaussian hyperplanes from splitmix64
-    streams (sum of 4 uniforms ~ gaussian enough for sign hashing)."""
+    streams (sum of 4 uniforms ~ gaussian enough for sign hashing).
+
+    Per-table stride is 2^40: each table consumes ``bits * dim`` consecutive
+    stream positions, so tables share NO base values for any plausible
+    ``bits * dim`` (a small additive stride like a 4-digit prime would overlap
+    adjacent tables' streams at high dim — e.g. bits=12 x dim=768 = 9216
+    positions — making the "independent tables" recall bound a fiction)."""
     n = bits * dim
+    assert n < (1 << 40), "bits*dim exceeds the per-table stream stride"
     out = np.zeros(n, dtype=np.float64)
-    base = np.arange(n, dtype=np.uint64) + np.uint64(seed * 1_000_003 + table * 7919)
+    # offset folded in Python ints (wrapping mod 2^64) — numpy uint64 scalar
+    # products warn on overflow
+    off = (seed * 0x9E3779B97F4A7C15 + table * (1 << 40)) % (1 << 64)
+    base = np.arange(n, dtype=np.uint64) + np.uint64(off)
     for r in range(4):
         u = splitmix64(base ^ np.uint64(0x9E37 + r))
         out += u.astype(np.float64) / float(1 << 64) - 0.5
     return out.reshape(bits, dim)
+
+
+def _drop_null_vecs(pdf: pd.DataFrame, vec_col: str) -> pd.DataFrame:
+    """Rows with NULL/empty embeddings are excluded from approximate candidate
+    generation: their cosine to anything is 0 (below any useful threshold), and
+    left in they would (a) crash the batch matmul with a ragged object array or
+    (b) all hash to the same all-zero-sign bucket, manufacturing a hot bucket
+    of unrelated rows. The exact SQL paths score them 0 via ``cosine_col``'s
+    zero-norm guard — consistent outcomes (never a candidate) on both paths."""
+    mask = pdf[vec_col].map(lambda v: v is not None and len(v) > 0)
+    return pdf[mask] if not mask.all() else pdf
 
 
 def with_rp_buckets(
@@ -101,12 +125,14 @@ def with_rp_buckets(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """-> (id, table, bucket): sign-random-projection bucket per hash table.
-    One numpy matmul per Arrow batch per table; output explodes to n_tables rows."""
+    One numpy matmul per Arrow batch per table; output explodes to n_tables
+    rows. NULL/empty embeddings emit no buckets (``_drop_null_vecs``)."""
 
     def compute(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         planes: dict[int, np.ndarray] = {}
         weights = (np.uint64(1) << np.arange(bits, dtype=np.uint64)).astype(np.int64)
         for pdf in it:
+            pdf = _drop_null_vecs(pdf, vec_col)
             if len(pdf) == 0:
                 continue
             mat = np.asarray(
@@ -135,6 +161,26 @@ def with_rp_buckets(
     )
 
 
+def _cap_buckets(b: DataFrame, max_bucket: int | None) -> DataFrame:
+    """Drop (table, bucket) groups larger than ``max_bucket`` from a bucket
+    frame — the skew guard for the RP self/probe joins (a degenerate embedding
+    family, or all-identical template vectors, otherwise lands m rows in one
+    bucket in EVERY table and the join emits O(m^2)). Multi-table redundancy
+    softens the recall cost for ordinary hot regions (each table draws its own
+    buckets), but a family identical in ALL tables loses its pairs entirely —
+    callers needing those families connected should route them through the
+    star-capped ``bucket_candidates`` kernel instead (candidates.py). Default
+    None = uncapped (exact-recall parity with the brute-force oracle)."""
+    if max_bucket is None:
+        return b
+    w = Window.partitionBy("table", "bucket")
+    return (
+        b.withColumn("_n", F.count("*").over(w))
+        .where(F.col("_n") <= max_bucket)
+        .drop("_n")
+    )
+
+
 def rp_lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -144,15 +190,18 @@ def rp_lsh_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: bucket-join candidates (any shared (table, bucket)),
-    exact cosine re-rank. Recall grows with n_tables / shrinks with bits."""
+    exact cosine re-rank. Recall grows with n_tables / shrinks with bits.
+    ``max_bucket`` skew-caps the corpus-side buckets (see ``_cap_buckets``)."""
     qb = with_rp_buckets(queries, bits, n_tables, seed, id_col, vec_col).select(
         F.col("id").alias("qid"), "table", "bucket"
     )
-    cb = with_rp_buckets(corpus, bits, n_tables, seed, id_col, vec_col).select(
-        F.col("id").alias("cand"), "table", "bucket"
-    )
+    cb = _cap_buckets(
+        with_rp_buckets(corpus, bits, n_tables, seed, id_col, vec_col),
+        max_bucket,
+    ).select(F.col("id").alias("cand"), "table", "bucket")
     cand = (
         qb.join(cb, ["table", "bucket"])
         .where(F.col("qid") != F.col("cand"))
@@ -203,7 +252,8 @@ def ivf_train_centroids(
     slim = corpus.select(id_col, vec_col).persist()
     try:
         init_rows = (
-            slim.select(
+            slim.where(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
+            .select(
                 F.col(vec_col).alias("v"),
                 F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)).alias("_h"),
                 F.col(id_col).alias("_id"),
@@ -216,7 +266,10 @@ def ivf_train_centroids(
             raise ValueError("ivf_train_centroids: corpus is empty")
         cent = _norm_rows(np.asarray([r.v for r in init_rows], dtype=np.float64))
         for _ in range(iters):
-            assigned = _ivf_assign(slim, cent, id_col, vec_col)
+            # normalize_out: spherical k-means averages NORMALIZED members —
+            # raw-vector sums would weight the mean by magnitude while the
+            # assignment step optimizes direction only (mismatched objectives)
+            assigned = _ivf_assign(slim, cent, id_col, vec_col, normalize_out=True)
             parts = (
                 assigned.select("cid", F.posexplode("cv").alias("pos", "val"))
                 .groupBy("cid", "pos")
@@ -241,15 +294,27 @@ def ivf_train_centroids(
 
 
 def _ivf_assign(
-    df: DataFrame, centroids: np.ndarray, id_col: str, vec_col: str
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str,
+    vec_col: str,
+    normalize_out: bool = False,
 ) -> DataFrame:
     """-> (cid, cand, cv): each vector labeled with its nearest centroid (the
     inverted-list key). One numpy matmul per Arrow batch; centroids travel by
-    closure (k*d floats — broadcast-sized regardless of corpus size)."""
+    closure (k*d floats — broadcast-sized regardless of corpus size).
+    NULL/empty embeddings are excluded (``_drop_null_vecs``).
+
+    ``normalize_out=True`` emits the L2-NORMALIZED vector as ``cv`` — the form
+    the spherical k-means update must average (assignment maximizes cosine on
+    normalized vectors, so updating from raw vectors would let one huge-norm
+    member steer the centroid away from the direction most members point).
+    Search paths keep the raw vector: ``cosine_col`` normalizes itself."""
     cent = np.ascontiguousarray(centroids)
 
     def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            pdf = _drop_null_vecs(pdf, vec_col)
             if len(pdf) == 0:
                 continue
             mat = _norm_rows(
@@ -258,9 +323,8 @@ def _ivf_assign(
                 )
             )
             cid = np.argmax(mat @ cent.T, axis=1).astype(np.int32)
-            yield pd.DataFrame(
-                {"cid": cid, "cand": pdf[id_col], "cv": pdf[vec_col]}
-            )
+            cv = list(mat) if normalize_out else pdf[vec_col]
+            yield pd.DataFrame({"cid": cid, "cand": pdf[id_col], "cv": cv})
 
     id_type = dict(df.dtypes)[id_col]
     vec_type = dict(df.dtypes)[vec_col]
@@ -287,6 +351,7 @@ def ivf_candidate_scores(
 
     def probe(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            pdf = _drop_null_vecs(pdf, vec_col)
             if len(pdf) == 0:
                 continue
             mat = _norm_rows(
@@ -353,11 +418,15 @@ def cosine_dedup_pairs(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: (id_a, id_b, cosine >= threshold).
     Bucket-join candidates + exact verify; near-dups (cosine ~1) collide in some
-    table with probability ~1 - (1 - (1-theta/pi)^bits)^... -> high for small theta."""
-    b = with_rp_buckets(df, bits, n_tables, seed, id_col, vec_col)
+    table with probability ~1 - (1 - (1-theta/pi)^bits)^... -> high for small
+    theta. ``max_bucket`` skew-caps the self-join (see ``_cap_buckets``)."""
+    b = _cap_buckets(
+        with_rp_buckets(df, bits, n_tables, seed, id_col, vec_col), max_bucket
+    )
     left = b.select(F.col("id").alias("id_a"), "table", "bucket")
     right = b.select(F.col("id").alias("id_b"), "table", "bucket")
     cand = (

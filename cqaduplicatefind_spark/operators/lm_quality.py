@@ -60,29 +60,40 @@ def unigram_logprob(
 
     ``head_k`` sizes the broadcast head of the vocabulary (64 Ki token texts
     plus counts is a few MiB — safe at default broadcast limits); the rare
-    tail joins shuffled. ``persisted`` (a list) takes ownership of the two
-    caches: the term-frequency frame (one row per distinct (doc, token) —
-    feeds the count fit plus both score branches; without the cache the
-    tokenize + groupBy exchange runs three times, and MEMORY_AND_DISK
-    spilling beats recomputing the corpus scan at scale) and the vocab count
-    frame (feeds the head top-k, the tail join, and the totals). The caller
-    unpersists after materializing the result.
+    tail joins shuffled. ``persisted`` (a list) OPTS INTO the two caches and
+    takes ownership of them: the term-frequency frame (one row per distinct
+    (doc, token) — feeds the count fit plus both score branches; without the
+    cache the tokenize + groupBy exchange runs three times, and
+    MEMORY_AND_DISK spilling beats recomputing the corpus scan at scale) and
+    the vocab count frame (feeds the head top-k, the tail join, and the
+    totals). The caller unpersists after materializing the result. With
+    ``persisted=None`` nothing is cached: the plan recomputes the tokenize
+    exchange per consumer, but a caller holding no release handle can never
+    strand executor storage in a long-lived session (the hot callers — entry
+    queries, the corpus-prep composite — all pass the list).
     """
-    tf = (
+
+    def _maybe_persist(df: DataFrame) -> DataFrame:
+        if persisted is None:
+            return df
+        df = df.persist()
+        persisted.append(df)
+        return df
+    # \s+ split, not single-space: this tier faces raw multi-line crawl pages
+    # (the corpus-prep composite feeds it decontaminated page text), and a
+    # single-space split would glue tokens across newlines/tabs into rare
+    # "words" whose Lidstone floor depresses well-formed documents' scores —
+    # the same hazard bm25.py documents at its tokenizer
+    tf = _maybe_persist(
         docs.select(
             F.col(id_col).alias("_id"),
-            F.explode(F.split(F.col(text_col), " ")).alias("_tok"),
+            F.explode(F.split(F.col(text_col), r"\s+")).alias("_tok"),
         )
         .where(F.col("_tok") != "")
         .groupBy("_id", "_tok")
         .agg(F.count(F.lit(1)).alias("_tf"))
-        .persist()
     )
-    if persisted is not None:
-        persisted.append(tf)
-    counts = tf.groupBy("_tok").agg(F.sum("_tf").alias("_c")).persist()
-    if persisted is not None:
-        persisted.append(counts)
+    counts = _maybe_persist(tf.groupBy("_tok").agg(F.sum("_tf").alias("_c")))
     totals = counts.agg(
         F.sum("_c").cast("double").alias("_n"),
         F.count(F.lit(1)).cast("double").alias("_v"),

@@ -173,7 +173,14 @@ class IncrementalDedup:
         import shutil
 
         tmp = os.path.join(root, "_compact_tmp")
-        self.spark.read.parquet(*sources).write.mode("overwrite").parquet(tmp)
+        # mergeSchema for the same reason _read_batches uses it: compacting a
+        # MIXED store (legacy pre-src_batch dirs + tagged dirs) must not let a
+        # single legacy footer's schema drop the tag column from the whole
+        # tier — replay exclusion would then read a replayed batch's pre-crash
+        # rows back as untagged "index" rows, permanently
+        self.spark.read.option("mergeSchema", "true").parquet(
+            *sources
+        ).write.mode("overwrite").parquet(tmp)
         old = final + ".old"
         if os.path.exists(final):
             if os.path.exists(old):
@@ -212,10 +219,15 @@ class IncrementalDedup:
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         cfg = self.cfg
         batch_df = batch_df.where(F.col("n_shingles") > 0).persist()
+        # every frame persisted mid-batch lands here and is released in the
+        # finally block: a failed write/compaction must not strand caches in a
+        # long-lived session (the delta path runs one processor per increment)
+        held: list[DataFrame] = [batch_df]
         try:
             new_bands = explode_bands(batch_df, cfg).withColumn(
                 "is_new", F.lit(True)
             ).persist()
+            held.append(new_bands)
             idx_bands = self._read_batches(
                 self.bands_dir, exclude_batch=int(batch_id)
             )
@@ -263,6 +275,7 @@ class IncrementalDedup:
                 # (such an increment touches most buckets anyway, so the wide
                 # join is the right plan there)
                 touched = new_bands.select("band", "bh").distinct().persist()
+                held.append(touched)
                 probe = (
                     F.broadcast(touched)
                     if touched.count() <= self.broadcast_touched_max
@@ -275,6 +288,7 @@ class IncrementalDedup:
                     .dropDuplicates(["id", "band", "bh"])
                     .persist()
                 )
+                held.append(idx_touched)
                 n_idx_joined = idx_touched.count()
                 touched.unpersist()
                 all_bands = idx_touched.withColumn(
@@ -296,6 +310,7 @@ class IncrementalDedup:
                 pair_filter=involves_new,
                 salt_cap=cfg.salt_buckets,
             ).persist()
+            held.append(cand)
             n_cand = cand.count()
 
             # fetch signature payloads ONLY for ids in candidate pairs; a
@@ -303,6 +318,7 @@ class IncrementalDedup:
             # otherwise the semi-join still scans every sig part for nothing
             if n_cand == 0:
                 needed = batch_df.select(*SIG_COLS).limit(0).persist()
+                held.append(needed)
             else:
                 ids = (
                     cand.select(F.col("id_a").alias("url"))
@@ -322,6 +338,7 @@ class IncrementalDedup:
                     .dropDuplicates(["url"])  # compaction crash-window tolerance
                     .persist()
                 )
+                held.append(needed)
             n_payload = needed.count()
 
             edges = accept_edges(
@@ -370,13 +387,9 @@ class IncrementalDedup:
             )
             self._maybe_compact(self.bands_dir, int(batch_id))
             self._maybe_compact(self.sigs_dir, int(batch_id))
-            cand.unpersist()
-            needed.unpersist()
-            new_bands.unpersist()
-            if idx_touched is not None:
-                idx_touched.unpersist()
         finally:
-            batch_df.unpersist()
+            for df in held:
+                df.unpersist()
 
     def matches(self) -> DataFrame:
         m = self._read_batches(self.matches_dir)

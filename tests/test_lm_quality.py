@@ -91,6 +91,36 @@ def test_boilerplate_scores_higher_than_gibberish(spark, docs_df):
     assert got[4] > got[1] > got[3]
 
 
+def test_whitespace_tokenization_and_no_default_caches(spark):
+    """Tabs/newlines are token boundaries (a multi-line page must score like
+    its single-spaced twin, not accrue glued rare 'words'), and the default
+    persisted=None call leaves NO cached RDDs behind (callers without a
+    release handle cannot strand executor storage)."""
+    single = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the dog ran")], "doc_id long, text string"
+    )
+    mixed = spark.createDataFrame(
+        [(1, "the\tcat\nsat"), (2, "the  dog\r\nran")], "doc_id long, text string"
+    )
+    a = {r["doc_id"]: (r["n_tokens"], r["avg_logprob"])
+         for r in unigram_logprob(single).collect()}
+    b = {r["doc_id"]: (r["n_tokens"], r["avg_logprob"])
+         for r in unigram_logprob(mixed).collect()}
+    assert a == b
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    before = {int(i) for i in jmap.keySet().toArray()}
+    unigram_logprob(single).count()
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    after = {int(i) for i in jmap.keySet().toArray()}
+    assert after <= before
+    # opt-in caching still works and is caller-released
+    handles: list = []
+    unigram_logprob(single, persisted=handles).count()
+    assert len(handles) == 2
+    for h in handles:
+        h.unpersist()
+
+
 def test_ordering_is_scale_free(spark):
     """Duplicating the corpus k times rescales counts but preserves the
     quality ORDERING (the decision a threshold filter acts on)."""

@@ -172,3 +172,63 @@ def test_cosine_dedup_pairs(spark):
     assert expected <= pairs
     # no random pair sneaks past the threshold
     assert all(b - a == 100 for a, b in pairs)
+
+
+def test_null_and_zero_embeddings_survive_every_path(spark):
+    """A NULL, empty, or all-zero embedding row must neither crash the numpy
+    batch paths (ragged object-array matmul) nor appear as a candidate: its
+    cosine to anything is 0 by convention (cosine_col zero-norm guard), and
+    the bucket/assign UDFs exclude it from candidate generation."""
+    df, _ = _vec_df(spark)
+    d = 16
+    weird = spark.createDataFrame(
+        [(900, None), (901, []), (902, [0.0] * d)],
+        "vec_id long, embedding array<float>",
+    )
+    full = df.unionByName(weird)
+    # exact path: scores exist, zero vector scores 0, never NULL
+    got = cosine_topk(weird, full, k=3).collect()
+    assert all(r.cosine == 0.0 for r in got if r.qid == 902)
+    assert all(r.qid != 900 and r.qid != 901 or r.cosine == 0.0 for r in got)
+    # rp path: no crash, weird rows emit no buckets -> never candidates
+    rp = rp_lsh_topk(full.where(F.col("vec_id") < 10), full, k=3, bits=8,
+                     n_tables=4).collect()
+    assert all(r.cand not in (900, 901) for r in rp)
+    # ivf: training + full probe unaffected by the weird rows
+    cent = ivf_train_centroids(full, n_centroids=4, iters=2, seed=1)
+    ivf = ivf_topk(full.where(F.col("vec_id") < 5), full, k=3,
+                   nprobe=4, centroids=cent).collect()
+    assert len(ivf) == 15
+    # dedup pairs: no crash, no weird-row pairs
+    pp = cosine_dedup_pairs(full, threshold=0.95).collect()
+    assert all(r.id_a not in (900, 901, 902) and r.id_b not in (900, 901, 902)
+               for r in pp)
+
+
+def test_rp_hot_bucket_cap_bounds_candidates(spark):
+    """max_bucket drops over-sized (table, bucket) groups from the pairing
+    join: a family of identical vectors (every member in the same bucket in
+    EVERY table) emits C(m,2) pairs uncapped and zero pairs capped below m —
+    the documented tradeoff (route such families through bucket_candidates'
+    star-capped kernel if they must connect)."""
+    d = 16
+    rows = [(i, [1.0] + [0.0] * (d - 1)) for i in range(40)]  # identical family
+    rows += [(100 + i, [float(j == i) for j in range(d)]) for i in range(1, 10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    uncapped = cosine_dedup_pairs(df, threshold=0.99, bits=6, n_tables=2)
+    assert uncapped.count() == 40 * 39 // 2
+    capped = cosine_dedup_pairs(df, threshold=0.99, bits=6, n_tables=2,
+                                max_bucket=8)
+    assert capped.count() == 0
+
+
+def test_rp_tables_draw_disjoint_streams():
+    """Adjacent tables' hyperplane streams must not overlap even at high
+    bits*dim (the old small additive stride shared ~14% of base values at
+    bits=12, dim=768, breaking table independence)."""
+    from cqaduplicatefind_spark.operators.ann import _hyperplanes
+
+    a = _hyperplanes(768, 12, table=0, seed=42)
+    b = _hyperplanes(768, 12, table=1, seed=42)
+    shared = np.intersect1d(a.ravel(), b.ravel())
+    assert shared.size == 0
