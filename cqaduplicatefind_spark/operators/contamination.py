@@ -104,9 +104,19 @@ def build_gram_bloom(
         if seen:
             yield pd.DataFrame({"part": [bitmap.tobytes()]})
 
-    parts = gram_hashes.select("_gh").mapInPandas(partial, "part binary").collect()
+    # OR-fold via toLocalIterator, NOT collect(): the partial frame has one
+    # bitmap row per non-empty input partition, and at the gate's own win
+    # condition (n_bench large enough that the raw hash set cannot broadcast)
+    # each partial is tens of MB — collect() would hold n_partitions of them
+    # on the driver simultaneously (~15 GB at 60M grams x 200 shuffle
+    # partitions) while the iterator holds ONE at a time. Each iterator
+    # partition is a separate job wave; the partial frame is 1 row per
+    # partition, so that costs n_partitions tiny tasks, not recomputation of
+    # the gram stream per wave (mapInPandas runs once per partition either way).
     bitmap = np.zeros(words, dtype=np.uint64)
-    for r in parts:
+    for r in gram_hashes.select("_gh").mapInPandas(
+        partial, "part binary"
+    ).toLocalIterator():
         bitmap |= np.frombuffer(r.part, dtype=np.uint64)
     return bitmap, m, k
 
@@ -196,20 +206,32 @@ def fuzzy_contaminated_docs(
         if n_bench_rows <= BROADCAST_MAX_FUZZY_BENCH_ROWS
         else bench_grams
     )
+    # corpus-doc identity = (id, text) via the _cdoc text hash, and _shared
+    # counts DISTINCT gram hashes — the SAME defect class the bench side
+    # fixes above, from the other direction: a corpus built by unioning crawl
+    # files can repeat a row, and a repeated (id, text) row would otherwise
+    # emit each gram twice, doubling _shared (jaccard can then exceed 1.0 and
+    # false-flag the doc). count_distinct dedups INSIDE the pair aggregation,
+    # so the fix costs one distinct pass over the gram-SHARING sliver (the
+    # post-join rows the aggregate reads anyway) — never a corpus-wide
+    # (id, text) distinct exchange. Two DIFFERENT texts under one id stay
+    # separate scoring units (_cdoc pins the text, so F.first(_na) is
+    # deterministic within a group); the per-id summary reports the best.
     corpus_grams = (
         docs.select(
             F.col(id_col).alias("id"),
+            F.xxhash64(text_col).alias("_cdoc"),
             F.array_distinct(_ngrams(F.split(F.col(text_col), " "), n)).alias("_gs"),
         )
         .withColumn("_na", F.size("_gs"))
-        .select("id", "_na", F.explode("_gs").alias("_g"))
-        .select("id", "_na", F.xxhash64("_g").alias("_gh"))
+        .select("id", "_cdoc", "_na", F.explode("_gs").alias("_g"))
+        .select("id", "_cdoc", "_na", F.xxhash64("_g").alias("_gh"))
     )
     pairs = (
         corpus_grams.join(probe, "_gh")
-        .groupBy("id", "bench_id", "_bdoc")
+        .groupBy("id", "_cdoc", "bench_id", "_bdoc")
         .agg(
-            F.count(F.lit(1)).alias("_shared"),
+            F.count_distinct("_gh").alias("_shared"),
             F.first("_na").alias("_na"),
             F.first("_nb").alias("_nb"),
         )

@@ -27,7 +27,13 @@ def _order_hash(id_col: Column) -> Column:
     the stringified id. (xxhash64 would be cheaper but has no DuckDB twin;
     this column is computed once per row and never shuffled as text beyond
     the 32-byte hex.)"""
-    return F.md5(id_col.cast("string"))
+    # NULL-id rows still need a total-order position: md5(NULL) is NULL, which
+    # would (a) give them a NULL bucket key that crashes the driver's
+    # sorted(sizes) fold with a None-vs-str TypeError and (b) silently drop
+    # them at the offsets join. Coalesce to '' — a NULL id sorts with the
+    # empty-string bucket, deterministically (the window's id tie-break puts
+    # NULLs first), instead of derailing the job.
+    return F.md5(F.coalesce(id_col.cast("string"), F.lit("")))
 
 
 def pack_shards(

@@ -91,6 +91,12 @@ def _make_rebuild(min_span: int, id_field: str, text_field: str):
                 n = len(toks)
                 diff = np.zeros(n + 1, dtype=np.int64)
                 s = np.asarray(starts, dtype=np.int64)
+                # drop start positions beyond this text: the operator expects
+                # one row per id, but a contract violation (duplicate ids with
+                # different-length texts fanning out through the starts join)
+                # must degrade to ignoring the out-of-range starts, not kill
+                # the whole job with an IndexError in the Arrow worker
+                s = s[s < n] if n else s[:0]
                 np.add.at(diff, s, 1)
                 np.add.at(diff, np.minimum(s + min_span, n), -1)
                 cut = np.cumsum(diff[:n]) > 0
@@ -119,7 +125,11 @@ def remove_duplicate_spans(
     one row per input document. ``clean_text`` is the whitespace re-join of the
     tokens NOT covered by any shared ``min_span``-gram owned by a smaller doc id;
     ``n_removed`` counts removed tokens (0 for owners, short docs, and documents
-    sharing nothing).
+    sharing nothing). Expects ONE ROW PER ``id_col`` (run the URL tier's
+    latest-capture collapse first, like ``remove_boilerplate_lines``):
+    duplicate ids fan out through the per-id start-list join, and a shorter
+    duplicate's rebuild ignores the longer copy's out-of-range starts rather
+    than crashing.
 
     The gram frame feeds two consumers (the owner aggregate and the probe
     join), so the tokenize+rolling-hash UDF runs twice — one extra CPU pass

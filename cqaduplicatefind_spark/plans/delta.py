@@ -48,6 +48,7 @@ re-paired at all.
 from __future__ import annotations
 
 import os
+from functools import cached_property
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -83,13 +84,10 @@ class DeltaResult:
         self.edges = edges
         self.stats = stats
         self._new_ids = new_ids
-        self._surviving: DataFrame | None = None
 
-    @property
+    @cached_property
     def surviving_new(self) -> DataFrame:
-        if self._surviving is None:
-            self._surviving = surviving_new(self.edges, self._new_ids)
-        return self._surviving
+        return surviving_new(self.edges, self._new_ids)
 
 
 def _store_dirs(work_dir: str) -> tuple[str, str, str]:

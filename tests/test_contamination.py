@@ -223,11 +223,53 @@ def test_fuzzy_duplicate_bench_rows_do_not_inflate_jaccard(spark):
     assert [(r.id, r.n_matched_bench) for r in summary] == [("edit", 2)]
 
 
+def test_fuzzy_duplicate_corpus_rows_do_not_inflate_jaccard(spark):
+    """The mirror of the bench-side dedup, from the corpus direction: a crawl
+    corpus built by unioning files repeats rows, and a repeated (id, text)
+    corpus row must not double _shared (jaccard would exceed its true value —
+    or 1.0 — and false-flag the doc). Different texts under one corpus id
+    score separately; the per-id summary reports the best."""
+    from cqaduplicatefind_spark.operators.contamination import (
+        fuzzy_contaminated_docs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("edit", "a b c d e X"),
+            ("edit", "a b c d e X"),    # exact duplicate row: collapses
+            ("two", "a b c d e f"),
+            ("two", "zz yy xx ww vv"),  # same id, different text: best wins
+        ],
+        "url string, text string",
+    )
+    bench = spark.createDataFrame(
+        [("b1", "a b c d e f")], "url string, text string"
+    )
+    pairs = {
+        (r.id, r.bench_id): r.jaccard
+        for r in fuzzy_contaminated_docs(
+            docs, bench, n=3, threshold=0.5, return_pairs=True
+        ).collect()
+    }
+    # edit: 3 shared of union 5 = 0.6 (NOT 6/(5+4-6) = 2.0); two: exact = 1.0
+    assert set(pairs) == {("edit", "b1"), ("two", "b1")}
+    assert abs(pairs[("edit", "b1")] - 0.6) < 1e-12
+    assert pairs[("two", "b1")] == 1.0
+    summary = {
+        r.id: r.max_jaccard
+        for r in fuzzy_contaminated_docs(docs, bench, n=3, threshold=0.5).collect()
+    }
+    assert set(summary) == {"edit", "two"}
+    assert abs(summary["edit"] - 0.6) < 1e-12 and summary["two"] == 1.0
+
+
 def test_fuzzy_probe_is_broadcast_and_python_free(spark):
     """Same plan contract as the exact tier: the corpus probes a
     BroadcastHashJoin (no corpus shuffle for the join), everything JVM-side;
-    the exchanges are the pair count, the per-doc summary, and the bench-doc
-    dedup — the last on the SMALL side only."""
+    the exchanges are the two-stage distinct pair count (count_distinct over
+    the post-join gram-sharing sliver — the duplicate-corpus-row guard; both
+    stages carry sliver rows, never the corpus), the per-doc summary, and the
+    bench-doc dedup — the last on the SMALL side only."""
     from cqaduplicatefind_spark.operators.contamination import (
         fuzzy_contaminated_docs,
     )
@@ -242,5 +284,5 @@ def test_fuzzy_probe_is_broadcast_and_python_free(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
-    assert plan.count("Exchange hashpartitioning") == 3
+    assert plan.count("Exchange hashpartitioning") == 4
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -92,6 +92,22 @@ def _hosted(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, host string, n_tokens long")
 
 
+def test_pack_shards_null_id_survives(spark):
+    """A NULL doc id must neither crash the driver's bucket fold (md5(NULL)
+    gave a None bucket key that sorted() cannot compare) nor silently vanish
+    at the offsets join: it sorts with the empty-string hash bucket and keeps
+    its weight in the packing."""
+    from cqaduplicatefind_spark.operators.sharding import pack_shards
+
+    docs = spark.createDataFrame(
+        [("a", 10), (None, 10), ("b", 10)], "doc_id string, n_tokens long"
+    )
+    out = pack_shards(docs, budget=100)
+    rows = out.collect()
+    assert len(rows) == 3  # the NULL-id row is packed, not dropped
+    assert {r.shard_id for r in rows} == {0}
+
+
 def test_cap_per_host_matches_bruteforce(spark):
     rng = np.random.default_rng(5)
     rows = [

@@ -80,6 +80,27 @@ def _brute_force(rows, min_span):
     return out
 
 
+def test_duplicate_id_contract_violation_degrades_not_crashes(spark):
+    """The operator expects one row per id; a violation (duplicate ids with
+    different-length texts fanning the start list onto a SHORTER copy) must
+    ignore the out-of-range starts instead of killing the job with an
+    IndexError inside the Arrow worker."""
+    shared = " ".join(f"s{i}" for i in range(15))
+    long_text = " ".join(f"pad{i}" for i in range(80)) + " " + shared
+    docs = spark.createDataFrame(
+        [
+            ("a", shared),          # owner (min id)
+            ("dup", long_text),     # shares the run at position 80
+            ("dup", "tiny text"),   # contract violation: same id, 2 tokens
+        ],
+        "url string, text string",
+    )
+    rows = remove_duplicate_spans(docs, min_span=15).collect()
+    by_text = {r.clean_text: r.n_removed for r in rows}
+    assert "tiny text" in by_text and by_text["tiny text"] == 0
+    assert by_text[" ".join(f"pad{i}" for i in range(80))] == 15
+
+
 def test_randomized_brute_force_parity(spark):
     rng = np.random.default_rng(7)
     vocab = [f"w{k}" for k in range(12)]  # small vocab -> dense collisions
