@@ -98,6 +98,14 @@ class DedupConfig:
             )
         if self.simhash_bits not in (32, 64):
             raise ValueError("simhash_bits must be 32 or 64")
+        # fail at config construction, not hours later when the scored_pairs
+        # stage's evidence-column lookup finally reads the knob (the
+        # normalize/signature/candidate stages would already have run)
+        if self.verify_evidence not in ("exact", "estimate", "both"):
+            raise ValueError(
+                "verify_evidence must be 'exact', 'estimate', or 'both' "
+                f"(got {self.verify_evidence!r})"
+            )
 
     # knobs that tune EXECUTION, not duplicate semantics: changing parallelism must
     # not invalidate checkpoints (results are parallelism-independent — proven by

@@ -131,12 +131,15 @@ def bucket_candidates(
 
     b = buckets.select(F.col(id_col).alias("id"), *keys, *carry)
     w = Window.partitionBy(*keys)
-    annotated = (
-        b.withColumn("_n", F.count("*").over(w))
-        # struct-min ordered by id first: the group-min id AND its carried columns
-        .withColumn("_mn", F.min(F.struct(F.col("id"), *carry)).over(w))
-        .where(F.col("_n") >= 2)  # singleton buckets can't produce pairs
-    )
+    annotated = b.withColumn("_n", F.count("*").over(w))
+    if mode in ("all", "base"):
+        # struct-min ordered by id first: the group-min id AND its carried
+        # columns. Only the star branch reads it, and rescue emits no stars —
+        # same dead-column guard as the base-mode _sn skip below
+        annotated = annotated.withColumn(
+            "_mn", F.min(F.struct(F.col("id"), *carry)).over(w)
+        )
+    annotated = annotated.where(F.col("_n") >= 2)  # singletons can't pair
 
     # unified pairing key: small buckets pair whole (salt -1); hot-bucket members
     # pair within salted sub-buckets of expected size max_group (salt over the
@@ -225,6 +228,25 @@ def bucket_candidates(
     return out.groupBy("id_a", "id_b").agg(F.max("is_star").alias("is_star"))
 
 
+def null_safe_group(df: DataFrame, group_col: str | None) -> DataFrame:
+    """NULL-proof a caller-supplied group column before it becomes part of a
+    bucket key. The bucket kernel's windows (``Window.partitionBy``) treat
+    NULL as one group, but the pairing equi-join and the span pass's het
+    semi-join use EqualTo semantics where NULL != NULL — so a NULL group
+    value would count toward bucket sizes yet never pair: small NULL-group
+    buckets silently emit nothing (a recall hole) while hot ones still emit
+    star edges (the star projection bypasses the join). Coalescing to a
+    ``\\x00``-prefixed sentinel makes NULL one ordinary group whose docs
+    dedup among themselves. The cast to string only affects the bucket key;
+    the group column never reaches the emitted pairs."""
+    if group_col is None:
+        return df
+    return df.withColumn(
+        group_col,
+        F.coalesce(F.col(group_col).cast("string"), F.lit("\x00<null-group>")),
+    )
+
+
 def band_keys(cfg: DedupConfig, minhash_col: str = "minhash"):
     """JVM-side LSH band hash per band: xxhash64 over the band's signature slice.
     Returns a list of (band_idx, hash) struct columns."""
@@ -301,6 +323,7 @@ def minhash_lsh_candidates(
     cross groups — the reference's per-forum runs (SURVEY U1) as one job, no
     driver loop over forums. ``mode``/``orphans``: see ``bucket_candidates``."""
     extras = (group_col,) if group_col else ()
+    signatures = null_safe_group(signatures, group_col)
     bands = explode_bands(signatures, cfg, id_col, extras)
     bands, ocarry, ogate = _with_orphan_flag(bands, orphans, (*extras, "band", "bh"))
     return bucket_candidates(
@@ -351,6 +374,7 @@ def simhash_candidates(
     orphan rescue round; see ``bucket_candidates``). ``group_col`` scopes
     buckets per group; ``mode``/``orphans``: see ``bucket_candidates``."""
     extras = (group_col,) if group_col else ()
+    signatures = null_safe_group(signatures, group_col)
     pieces = signatures.select(
         F.col(id_col).alias("id"),
         *extras,

@@ -208,9 +208,16 @@ def _span_candidates(
     ``exact_span_edges`` does exactly that. When omitted the aggregate simply
     recomputes (slower, but nothing is left cached): the default is
     leak-free for ad-hoc callers."""
-    from cqaduplicatefind_spark.operators.candidates import bucket_candidates
+    from cqaduplicatefind_spark.operators.candidates import (
+        bucket_candidates,
+        null_safe_group,
+    )
 
     extras = (group_col,) if group_col else ()
+    # NULL group values would ride the fp bucket key into EqualTo joins (the
+    # het semi-join and the pairing self-join) and silently drop — same fix
+    # as the LSH/SimHash families (see candidates.null_safe_group)
+    normalized = null_safe_group(normalized, group_col)
     # a qualifying pair shares a contiguous run of >= min_overlap_span tokens,
     # so BOTH endpoints must have at least that many tokens: docs below the
     # span length can be dropped before the fingerprint explode (they still

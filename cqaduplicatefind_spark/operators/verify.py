@@ -83,11 +83,17 @@ def score_pairs(
       est_jaccard doubles as jaccard. Right for long web pages (multi-KB shingle
       sets) where exact verification runs as a later targeted pass.
     """
-    carry = {
+    evidence_carry = {
         "both": ("minhash", "simhash", "n_shingles", "shingles"),
         "exact": ("simhash", "n_shingles", "shingles"),
         "estimate": ("minhash", "simhash", "n_shingles"),
-    }[evidence] + tuple(extra_carry)
+    }
+    if evidence not in evidence_carry:
+        raise ValueError(
+            f"score_pairs: unknown evidence mode {evidence!r} "
+            f"(expected one of {sorted(evidence_carry)})"
+        )
+    carry = evidence_carry[evidence] + tuple(extra_carry)
     a = _doc_side(signatures, id_col, "a", carry)
     b = _doc_side(signatures, id_col, "b", carry)
     # no join-strategy hint: an A/B at 600k docs measured shuffle_hash hints on

@@ -384,8 +384,17 @@ def run_pipeline(
 
 
 def dedup_clusters_df(spark: SparkSession, pages: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """Convenience: pages -> (url, cluster_id), single lazy plan."""
-    return run_pipeline(spark, pages, cfg).clusters
+    """Convenience: pages -> (url, cluster_id), leak-free. run_pipeline is
+    EAGER (orphan probe, CC rounds) and caches several intermediates whose
+    release handle lives on the PipelineResult — discarding that result would
+    strand the caches for the session lifetime, so this wrapper materializes
+    the clusters into a localCheckpoint (decoupling them from the caches) and
+    releases everything before returning. Callers wanting the lazy
+    intermediates use run_pipeline directly and call .release() themselves."""
+    result = run_pipeline(spark, pages, cfg)
+    clusters = result.clusters.localCheckpoint()
+    result.release()
+    return clusters
 
 
 def retrieval_scored_pairs(result: PipelineResult, cfg: DedupConfig) -> DataFrame:

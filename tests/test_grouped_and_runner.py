@@ -83,6 +83,28 @@ def test_grouped_pipeline_equals_per_group_runs(spark, grouped_pages):
     assert per_group.exceptAll(grouped).count() == 0
 
 
+def test_null_group_docs_still_dedup(spark):
+    """A NULL group value must behave as one ordinary group, not a recall
+    hole: the bucket windows count NULL-keyed rows but the pairing equi-join's
+    EqualTo would silently drop them (null_safe_group pins the fix). Identical
+    docs with NULL group must cluster together — and never with any named
+    group's docs."""
+    cfg = _cfg()
+    rows = []
+    base = "shared text " + " ".join(f"w{j}" for j in range(20))
+    for g in ("android", None):
+        tag = g or "nullg"
+        rows.append((f"{tag}-orig", base, g))
+        rows.append((f"{tag}-dup", base + " extra", g))
+    pages = spark.createDataFrame(rows, "url string, text string, group string")
+    result = run_pipeline(spark, pages, cfg, group_col="group")
+    clusters = {r.url: r.cluster_id for r in result.clusters.collect()}
+    result.release()
+    assert clusters["nullg-orig"] == clusters["nullg-dup"]  # the recall hole
+    assert clusters["android-orig"] == clusters["android-dup"]
+    assert clusters["nullg-orig"] != clusters["android-orig"]  # still scoped
+
+
 @pytest.mark.skipif(shutil.which("spark-submit") is None, reason="no spark-submit")
 def test_spark_submit_runner(tmp_path_factory):
     """Launch the pipeline exactly as the north_rule mandates: spark-submit
