@@ -114,10 +114,17 @@ def shingle_hashes(token_hashes: np.ndarray, k: int) -> np.ndarray:
 
 def _shingle_mult(j: int) -> np.uint64:
     """Positional multiplier: fixed table for small j (pins existing signatures),
-    derived odd constants beyond it (arbitrary window lengths, e.g. span search)."""
+    derived odd constants beyond it (arbitrary window lengths, e.g. span search).
+
+    The stream offset wraps in PYTHON ints (mod 2^64): the numpy uint64 scalar
+    product would emit an unsuppressed overflow RuntimeWarning on every
+    executor batch for the long windows (span/winnow grams) that reach this
+    branch, and the old ``% _MASK64`` was mod 2^64-1 — numerically identical
+    for every value except the measure-zero wrap 2^64-1, but not the masked
+    construction the rest of the file uses."""
     if j < len(_SHINGLE_MULTS):
         return _SHINGLE_MULTS[j]
-    return splitmix64(np.uint64(j) * _SM_GAMMA % _MASK64) | _U64(1)
+    return splitmix64(np.uint64((j * int(_SM_GAMMA)) % (1 << 64))) | _U64(1)
 
 
 # polynomial rolling-hash base (odd -> invertible mod 2^64) and its inverse,

@@ -153,7 +153,7 @@ def compute_signatures_pdf(
     running = 0
     for i, s in enumerate(sizes):
         running += int(s)
-        if running >= _TOKEN_BUDGET and i + 1 > start:
+        if running >= _TOKEN_BUDGET:  # chunk is non-empty: start <= i always
             pieces.append(_compute_chunk(texts.iloc[start : i + 1], cfg, hasher))
             start = i + 1
             running = 0

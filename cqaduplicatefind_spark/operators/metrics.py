@@ -24,16 +24,23 @@ def pair_recall(predicted: DataFrame, gold: DataFrame) -> DataFrame:
     Output: one row (n_gold, n_pred, n_hit, recall, precision) — the BASELINE.json
     acceptance metric (dup-pair recall >= 0.99).
     """
+    # persist both canonical frames for the three counts: `predicted` is
+    # typically clusters_to_pairs (a full bucket-pairing job) and without the
+    # cache the hit count re-executes that whole lineage a second time
     p = predicted.select(
         F.least(predicted.columns[0], predicted.columns[1]).alias("a"),
         F.greatest(predicted.columns[0], predicted.columns[1]).alias("b"),
-    ).distinct()
+    ).distinct().persist()
     g = gold.select(
         F.least(gold.columns[0], gold.columns[1]).alias("a"),
         F.greatest(gold.columns[0], gold.columns[1]).alias("b"),
-    ).distinct()
-    hit = g.join(p, ["a", "b"], "inner")
-    n_gold, n_pred, n_hit = g.count(), p.count(), hit.count()
+    ).distinct().persist()
+    try:
+        hit = g.join(p, ["a", "b"], "inner")
+        n_gold, n_pred, n_hit = g.count(), p.count(), hit.count()
+    finally:
+        p.unpersist()
+        g.unpersist()
     spark = predicted.sparkSession
     return spark.createDataFrame(
         [
@@ -81,18 +88,39 @@ def ranked_retrieval_metrics(
     ranked: DataFrame,
     gold_edges: DataFrame,
     k: int = 10,
+    symmetric: bool = True,
 ) -> DataFrame:
     """ranked: (query_id, candidate_id, score) — scored candidates per query.
-    gold_edges: (src, dst) symmetric-closure applied here.
+    gold_edges: (src, dst).
 
-    Output: one row (n_queries, found_at_k, p_at_k, map) over queries that have
-    >= 1 gold dup — byte-faithful to src/BM25DuplicateRetriever.py:49-103.
+    Output: one row (n_queries, found_at_k, p_at_k, map) over queries that
+    have >= 1 gold dup — the reference's evaluation loop
+    (src/BM25DuplicateRetriever.py:49-103) as DataFrame aggregations.
+
+    ``symmetric`` controls the query set. The reference iterates only docs
+    whose OWN ``dups`` list is non-empty (``queriesWithDuplicates``, :54-56)
+    and its ranking check is asymmetric (``candidate in query.dups``, :89 —
+    SURVEY.md §1.4); on CQADupStack-style DIRECTED dups lists (the dup
+    question lists the original, the original lists nothing) that evaluation
+    is ``symmetric=False`` with ``gold_edges`` exploded verbatim (src = the
+    listing doc). The default ``symmetric=True`` closes the relation first —
+    every endpoint becomes a query — which equals the reference's numbers
+    whenever the dumps carry symmetric lists (each dup lists the other) and
+    is the natural form when the gold comes from an undirected cluster/edge
+    table rather than per-doc lists.
     """
-    sym = gold_edges.select(
+    directed = gold_edges.select(
         F.col("src").alias("query_id"), F.col("dst").alias("gold_id")
-    ).unionByName(
-        gold_edges.select(F.col("dst").alias("query_id"), F.col("src").alias("gold_id"))
-    ).distinct()
+    )
+    sym = (
+        directed.unionByName(
+            gold_edges.select(
+                F.col("dst").alias("query_id"), F.col("src").alias("gold_id")
+            )
+        ).distinct()
+        if symmetric
+        else directed.distinct()
+    )
 
     n_dups = sym.groupBy("query_id").agg(F.count("*").alias("n_gold"))
 

@@ -46,9 +46,24 @@ def labeled_pairs(
 
     Positives: for every doc with >= 1 gold dup, its smallest gold partner
     (the reference takes the first dup, ``:97-98``; min = deterministic analog).
-    Negatives: docs paired by deterministic pseudo-random rank (seeded hash order,
-    front-to-back vs back-to-front — the reference pairs a forward cursor with a
-    mirrored cursor, ``:118-119``), anti-joined against gold edges (``check_dup``).
+
+    Negatives reproduce BOTH of the reference's negative classes, cursor-free:
+
+    - one **query-anchored** negative per positive — the dup question itself
+      paired with a non-dup doc (``:106-115``: ``(dupRow, non_dup_rows[cursor])``).
+      Without this class no negative ever contains a dup-carrying doc and the
+      training distribution has no hard negatives anchored on query docs;
+    - ``negatives_per_positive - 1`` **pool** negatives pairing two non-dup
+      docs far apart in a seeded pseudo-random order (``:118-119`` pairs a
+      forward cursor with an end cursor; here rank j pairs rank j + ~n/2
+      cyclically, which keeps the far-apart spirit and — unlike a literal
+      mirror pairing — never emits the same unordered pair twice while
+      ``need`` <= n_non).
+
+    All negatives are anti-joined against gold edges (``check_dup``, symmetric).
+    A pool smaller than the demand under-delivers gracefully (ranks wrap for
+    the anchored class; pool pairs stop at n_non) — the reference would
+    IndexError there.
     """
     d = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
 
@@ -64,48 +79,67 @@ def labeled_pairs(
     )
     n_pos = pos.count()
 
-    # negative pool: docs with no gold dups (reference's non_dup_rows, :148-152).
     # Deterministic pseudo-random GLOBAL rank without a single-partition window
     # (row_number over an unpartitioned ORDER BY pulls every row through one
     # task): hash rows into B buckets, rank within each bucket in parallel, then
     # add per-bucket offsets (B scalar rows collected to the driver). The total
     # order is (bucket, hash, id) — seeded, reproducible, partition-independent.
     n_buckets = 64
+
+    def _ranked(frame: DataFrame) -> tuple[DataFrame, int]:
+        h = F.xxhash64(F.col("id"), F.lit(seed))
+        bucketed = frame.withColumn("_h", h).withColumn(
+            "_b", F.pmod(h, F.lit(n_buckets))
+        )
+        bw = Window.partitionBy("_b").orderBy("_h", "id")
+        local = bucketed.withColumn("_lr", F.row_number().over(bw))
+        sizes = {
+            r["_b"]: r["n"]
+            for r in bucketed.groupBy("_b").agg(F.count("*").alias("n")).collect()
+        }
+        offsets, acc = {}, 0
+        for b in range(n_buckets):
+            offsets[b] = acc
+            acc += sizes.get(b, 0)
+        off_map = F.create_map(
+            *[F.lit(x) for b_off in offsets.items() for x in b_off]
+        )
+        ranked = local.withColumn("r", F.col("_lr") + off_map[F.col("_b")]).drop(
+            "_h", "_b", "_lr"
+        )
+        return ranked, acc
+
+    # negative pool: docs with no gold dups (reference's non_dup_rows, :148-152)
     dup_ids = sym.select(F.col("src").alias("id")).distinct()
-    h = F.xxhash64(F.col("id"), F.lit(seed))
-    non_dup = (
-        d.join(dup_ids, "id", "left_anti")
-        .withColumn("_h", h)
-        .withColumn("_b", F.pmod(h, F.lit(n_buckets)))
-    )
-    bw = Window.partitionBy("_b").orderBy("_h", "id")
-    local = non_dup.withColumn("_lr", F.row_number().over(bw))
-    sizes = {
-        r["_b"]: r["n"]
-        for r in non_dup.groupBy("_b").agg(F.count("*").alias("n")).collect()
-    }
-    offsets, acc = {}, 0
-    for b in range(n_buckets):
-        offsets[b] = acc
-        acc += sizes.get(b, 0)
-    n_non = acc
-    off_map = F.create_map(
-        *[F.lit(x) for b_off in offsets.items() for x in b_off]
-    )
-    ordered = local.withColumn("r", F.col("_lr") + off_map[F.col("_b")]).drop(
-        "_h", "_b", "_lr"
-    )
-    need = n_pos * negatives_per_positive
-    fwd = ordered.where(F.col("r") <= need).select(
-        F.col("id").alias("q1_id"), F.col("r").alias("k")
-    )
-    bwd = ordered.select(
-        F.col("id").alias("q2_id"), (F.lit(n_non + 1) - F.col("r")).alias("k")
-    )
-    neg = (
-        fwd.join(bwd, "k")
-        .where(F.col("q1_id") != F.col("q2_id"))
+    ordered, n_non = _ranked(d.join(dup_ids, "id", "left_anti").select("id"))
+
+    # anchored class: dup doc at rank r pairs the non-dup doc at rank
+    # ((r-1) mod n_non) + 1 — one per positive, wrapping on small pools
+    dup_ranked, _ = _ranked(pos.select(F.col("q1_id").alias("id")))
+    anchored = (
+        dup_ranked.select(
+            F.col("id").alias("q1_id"),
+            (F.pmod(F.col("r") - 1, F.lit(max(n_non, 1))) + 1).alias("k"),
+        )
+        .join(ordered.select(F.col("id").alias("q2_id"), F.col("r").alias("k")), "k")
         .select("q1_id", "q2_id")
+    )
+
+    # pool class: rank j pairs rank ((j-1+o) mod n_non)+1 with o ~ n_non/2
+    # (o chosen so 2o != 0 mod n_non where possible — a literal mirror
+    # pairing re-emits every unordered pair once need exceeds n_non/2)
+    need = n_pos * max(negatives_per_positive - 1, 0)
+    o = max(1, n_non // 2 - 1)
+    fwd = ordered.where(F.col("r") <= need).select(
+        F.col("id").alias("q1_id"),
+        (F.pmod(F.col("r") - 1 + o, F.lit(max(n_non, 1))) + 1).alias("k"),
+    )
+    bwd = ordered.select(F.col("id").alias("q2_id"), F.col("r").alias("k"))
+    pool = fwd.join(bwd, "k").select("q1_id", "q2_id")
+
+    neg = (
+        anchored.unionByName(pool)
+        .where(F.col("q1_id") != F.col("q2_id"))
         .withColumn("dup", F.lit(0))
     )
     # reference's check_dup: drop sampled pairs that are secretly gold (symmetric)

@@ -85,7 +85,6 @@ class Warehouse:
         df.write.mode("overwrite").parquet(tmp)
 
         # per-partition lineage: rows per output file (order-insensitive)
-        spark = df.sparkSession
         files = sorted(
             f for f in os.listdir(tmp) if f.endswith(".parquet")
         )
@@ -109,9 +108,20 @@ class Warehouse:
         with open(os.path.join(tmp, _MANIFEST), "w") as f:
             json.dump(manifest, f, indent=2, sort_keys=True)
 
+        # replace via rename-rename, never rmtree-then-rename: deleting the
+        # committed table BEFORE the new one lands would leave a crash window
+        # with NEITHER table on disk (the old checkpoint destroyed, resume
+        # forced to recompute). Parking the old table under .__old__ first
+        # means every instant has a complete table either committed or
+        # recoverable; the stale .__old__ is swept on the next write.
+        old = final + ".__old__"
+        if os.path.exists(old):
+            shutil.rmtree(old)
         if os.path.exists(final):
-            shutil.rmtree(final)
+            os.rename(final, old)
         os.rename(tmp, final)
+        if os.path.exists(old):
+            shutil.rmtree(old)
         return manifest
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:

@@ -173,6 +173,46 @@ def test_metric_parity_with_reference_loop(spark):
     assert got.map == pytest.approx(map_)
 
 
+def test_asymmetric_metrics_match_reference_on_directed_dups(spark):
+    """CQADupStack dups lists are DIRECTED (the dup question lists the
+    original; the original lists nothing), and the reference's loop iterates
+    only docs whose OWN list is non-empty, checking ``candidate in
+    query.dups`` (BM25DuplicateRetriever.py:54-56,89). ``symmetric=False``
+    reproduces exactly that; the default closure would make the listed
+    originals queries too (different n_queries and denominators)."""
+    gold = {"q1": {"d1"}, "q2": {"d2", "d3"}}  # directed: d1..d3 list nothing
+    ranked = {
+        "q1": ["d1", "x1"],
+        "q2": ["x2", "d2", "x3"],
+        # the originals also retrieve things — the reference never scores them
+        "d1": ["q1", "x4"],
+        "d2": ["q2"],
+    }
+    n_q, found, p_at_k, map_ = _reference_metrics(ranked, gold)
+    assert n_q == 2  # only q1, q2 are queries under the reference loop
+
+    gold_edges = spark.createDataFrame(
+        [(q, d) for q, ds in gold.items() for d in ds], "src string, dst string"
+    )
+    rows = [
+        (q, c, float(len(cands) - i))
+        for q, cands in ranked.items()
+        for i, c in enumerate(cands)
+    ]
+    scored = spark.createDataFrame(
+        rows, "query_id string, candidate_id string, score double"
+    )
+    got = ranked_retrieval_metrics(
+        scored, gold_edges, k=10, symmetric=False
+    ).collect()[0]
+    assert got.n_queries == n_q and got.found_at_k == found
+    assert got.p_at_k == pytest.approx(p_at_k)
+    assert got.map == pytest.approx(map_)
+    # the symmetric default counts the originals as queries as documented
+    sym = ranked_retrieval_metrics(scored, gold_edges, k=10).collect()[0]
+    assert sym.n_queries == 5  # q1, q2, d1, d2, d3
+
+
 def test_retrieval_on_fixture_finds_gold(spark, tiny_fixture, cfg):
     from cqaduplicatefind_spark.plans.pipeline import (
         retrieval_scored_pairs,

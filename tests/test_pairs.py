@@ -53,6 +53,27 @@ def test_ratio_and_purity(spark):
         assert r.q2 == by_id[r.q2_id]
 
 
+def test_anchored_negative_class_and_no_mirror_duplicates(spark):
+    """The reference emits one negative per positive anchored on the dup
+    question itself (JsonToCsvConverter.py:106-115) plus pool negatives
+    between two non-dup docs (:118-130): every positive's q1 must appear in
+    at least one negative, and no unordered negative pair may repeat (the
+    old literal mirror pairing re-emitted pairs once need > n_non/2)."""
+    docs = _docs(spark)  # 5 dup docs, 20-doc pool; need=5 pool negatives
+    gold = gold_edges_from_dups(docs)
+    rows = labeled_pairs(docs, gold, negatives_per_positive=2).collect()
+    pos_q1 = {r.q1_id for r in rows if r.dup == 1}
+    neg = [r for r in rows if r.dup == 0]
+    anchored_q1 = {r.q1_id for r in neg if r.q1_id in pos_q1}
+    assert anchored_q1 == pos_q1  # each dup doc anchors a negative
+    unordered = [tuple(sorted((r.q1_id, r.q2_id))) for r in neg]
+    assert len(unordered) == len(set(unordered))  # no mirror duplicates
+    # stress the mirror regime: demand close to the pool size
+    rows4 = labeled_pairs(docs, gold, negatives_per_positive=4).collect()
+    neg4 = [tuple(sorted((r.q1_id, r.q2_id))) for r in rows4 if r.dup == 0]
+    assert len(neg4) == len(set(neg4))
+
+
 def test_deterministic(spark):
     docs = _docs(spark)
     gold = gold_edges_from_dups(docs)
