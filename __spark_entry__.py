@@ -2071,8 +2071,8 @@ _MESSY_URL_SQL = """
                WHEN doc_id % 13 = 0 THEN ':8080' ELSE '' END)
       || '/p/' || CAST(doc_id % 200 AS VARCHAR)
       || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
-      || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&b=2&a=1'
-               WHEN doc_id % 4 = 1 THEN '?b=2&a=1&gclid=XYZ'
+      || (CASE WHEN doc_id % 4 = 0 THEN '?UTM_Source=feed&b=2&a=1'
+               WHEN doc_id % 4 = 1 THEN '?b=2&a=1&Gclid=XYZ'
                WHEN doc_id % 4 = 2 THEN '?a=1&b=2' ELSE '' END)
       || (CASE WHEN doc_id % 6 = 0 THEN '#Section-2' ELSE '' END)
 """
@@ -2097,8 +2097,10 @@ _CANON_URL_CTES = f"""
           '/+$', '') AS path,
         coalesce(array_to_string(list_sort(list_filter(
           string_split(coalesce(regexp_extract(url, '^[^#?]*\\?([^#]*)', 1), ''), '&'),
-          x -> x <> '' AND NOT starts_with(string_split(x, '=')[1], 'utm_')
-               AND string_split(x, '=')[1] NOT IN
+          -- key matching is case-blind like the Spark side (urls.py lowers
+          -- the key before the utm_ prefix and tracker-set tests)
+          x -> x <> '' AND NOT starts_with(lower(string_split(x, '=')[1]), 'utm_')
+               AND lower(string_split(x, '=')[1]) NOT IN
                  ('gclid','fbclid','msclkid','yclid','igshid','mc_cid','mc_eid')
         )), '&'), '') AS q
       FROM u
@@ -2129,8 +2131,11 @@ def _messy_urls(docs: DataFrame) -> DataFrame:
         ).when(d % 13 == 0, F.lit(":8080")).otherwise(F.lit("")),
         F.lit("/p/"), s(200),
         F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
-        F.when(d % 4 == 0, F.lit("?utm_source=feed&b=2&a=1"))
-        .when(d % 4 == 1, F.lit("?b=2&a=1&gclid=XYZ"))
+        # mixed-case tracking KEYS on purpose: both engines must strip them
+        # case-blind (the all-lowercase fixture previously masked a
+        # case-sensitive oracle restatement)
+        F.when(d % 4 == 0, F.lit("?UTM_Source=feed&b=2&a=1"))
+        .when(d % 4 == 1, F.lit("?b=2&a=1&Gclid=XYZ"))
         .when(d % 4 == 2, F.lit("?a=1&b=2"))
         .otherwise(F.lit("")),
         F.when(d % 6 == 0, F.lit("#Section-2")).otherwise(F.lit("")),
@@ -2198,6 +2203,11 @@ _PII_TEXT_SQL = (
     " || CASE WHEN doc_id % 2 = 0"
     "      THEN ' call 555-0' || lpad((doc_id % 1000)::varchar, 3, '0')"
     "      ELSE ' call 415-555-0199' END"
+    # nested shape: an IPv4-looking domain INSIDE an email — redacts as one
+    # <EMAIL>, and the chained counts must NOT also report an IP
+    " || CASE WHEN doc_id % 7 = 0"
+    "      THEN ' alt x@10.' || (doc_id % 9) || '.2.3.example.net'"
+    "      ELSE '' END"
 )
 
 
@@ -2216,6 +2226,10 @@ def _pii_docs(docs: DataFrame) -> DataFrame:
             d % 2 == 0,
             F.concat(F.lit(" call 555-0"), F.lpad(s(1000), 3, "0")),
         ).otherwise(F.lit(" call 415-555-0199")),
+        F.when(
+            d % 7 == 0,
+            F.concat(F.lit(" alt x@10."), s(9), F.lit(".2.3.example.net")),
+        ).otherwise(F.lit("")),
     )
     return docs.select("doc_id", text.alias("text"))
 
@@ -2223,19 +2237,29 @@ def _pii_docs(docs: DataFrame) -> DataFrame:
 @_register(
     "pii_redaction",
     f"""
-    WITH pii AS (SELECT doc_id, {_PII_TEXT_SQL} AS text FROM documents)
+    WITH pii AS (SELECT doc_id, {_PII_TEXT_SQL} AS text FROM documents),
+    -- counts are CHAINED like the Spark side: each kind counted on the text
+    -- with the prior rules applied, so n_<kind> == placeholder occurrences
+    r1 AS (SELECT doc_id, text,
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+               '<EMAIL>', 'g') AS t1
+           FROM pii),
+    r2 AS (SELECT doc_id, text, t1,
+             regexp_replace(t1,
+               '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b',
+               '<IP>', 'g') AS t2
+           FROM r1)
     SELECT doc_id,
-      regexp_replace(regexp_replace(regexp_replace(text,
-        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
-        '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g'),
+      regexp_replace(t2,
         '\\b\\d{{3}}[- ](\\d{{3}}[- ])?\\d{{4}}\\b', '<PHONE>', 'g') AS clean_text,
       len(regexp_extract_all(text,
         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_email,
-      len(regexp_extract_all(text,
+      len(regexp_extract_all(t1,
         '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS n_ip,
-      len(regexp_extract_all(text,
+      len(regexp_extract_all(t2,
         '\\b\\d{{3}}[- ](\\d{{3}}[- ])?\\d{{4}}\\b')) AS n_phone
-    FROM pii
+    FROM r2
     """,
 )
 def q_pii_redaction(spark, sf):
@@ -2984,8 +3008,8 @@ _CRAWL_URL_SQL = """
                ELSE '' END)
       || '/article/' || CAST(doc_id // 3 AS VARCHAR)
       || (CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END)
-      || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&b=2&a=1'
-               WHEN doc_id % 3 = 1 THEN '?b=2&a=1&gclid=XYZ'
+      || (CASE WHEN doc_id % 3 = 0 THEN '?UTM_Source=feed&b=2&a=1'
+               WHEN doc_id % 3 = 1 THEN '?b=2&a=1&Gclid=XYZ'
                ELSE '?a=1&b=2' END)
       || (CASE WHEN doc_id % 5 = 0 THEN '#s2' ELSE '' END)
 """
@@ -3019,8 +3043,8 @@ def _crawl_captures(docs: DataFrame) -> DataFrame:
         .otherwise(F.lit("")),
         F.lit("/article/"), base.cast("string"),
         F.when(d % 2 == 1, F.lit("/")).otherwise(F.lit("")),
-        F.when(d % 3 == 0, F.lit("?utm_source=feed&b=2&a=1"))
-        .when(d % 3 == 1, F.lit("?b=2&a=1&gclid=XYZ"))
+        F.when(d % 3 == 0, F.lit("?UTM_Source=feed&b=2&a=1"))
+        .when(d % 3 == 1, F.lit("?b=2&a=1&Gclid=XYZ"))
         .otherwise(F.lit("?a=1&b=2")),
         F.when(d % 5 == 0, F.lit("#s2")).otherwise(F.lit("")),
     )
@@ -3060,8 +3084,10 @@ def _crawl_captures(docs: DataFrame) -> DataFrame:
           '/+$', '') AS path,
         coalesce(array_to_string(list_sort(list_filter(
           string_split(coalesce(regexp_extract(url, '^[^#?]*\\?([^#]*)', 1), ''), '&'),
-          x -> x <> '' AND NOT starts_with(string_split(x, '=')[1], 'utm_')
-               AND string_split(x, '=')[1] NOT IN
+          -- key matching is case-blind like the Spark side (urls.py lowers
+          -- the key before the utm_ prefix and tracker-set tests)
+          x -> x <> '' AND NOT starts_with(lower(string_split(x, '=')[1]), 'utm_')
+               AND lower(string_split(x, '=')[1]) NOT IN
                  ('gclid','fbclid','msclkid','yclid','igshid','mc_cid','mc_eid')
         )), '&'), '') AS q
       FROM crawl

@@ -60,12 +60,21 @@ def redact_pii(text: Column) -> Column:
 
 
 def pii_counts(text: Column) -> dict[str, Column]:
-    """Match counts per PII kind on the RAW text (pre-redaction), for
-    routing/quarantine decisions and audit metrics."""
-    return {
-        f"n_{name}": F.regexp_count(text, F.lit(pattern))
-        for name, pattern, _ in _RULES
-    }
+    """Match counts per PII kind, CHAINED in redaction order: each kind is
+    counted on the text with the prior rules already applied, so
+    ``n_<kind>`` equals exactly the number of ``<KIND>`` placeholders in the
+    redacted output. Counting every kind on the raw text instead would
+    double-count nested shapes — an IPv4-looking domain inside an email
+    (``user@10.1.2.3.example.net``) is redacted as ONE ``<EMAIL>`` yet would
+    report ``n_ip=1``, so a quarantine router thresholding on ``n_ip`` flags
+    pages whose redacted text contains no IP at all and the audit counts can
+    never be reconciled against the placeholders."""
+    out: dict[str, Column] = {}
+    cur = text
+    for name, pattern, token in _RULES:
+        out[f"n_{name}"] = F.regexp_count(cur, F.lit(pattern))
+        cur = F.regexp_replace(cur, pattern, token)
+    return out
 
 
 def with_pii_redacted(

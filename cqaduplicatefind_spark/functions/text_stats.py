@@ -22,12 +22,15 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 
 def tokens(col) -> Column:
-    return F.split(col, " ")
+    """Whitespace tokens (``\\s+`` boundaries, Python ``str.split()``
+    semantics), edge empties dropped — a single-space split would glue tokens
+    across tabs/newlines, contradicting this docstring."""
+    return F.filter(F.split(col, r"\s+"), lambda x: x != "")
 
 
 def token_count(col) -> Column:
-    """Whitespace token count; empty string -> 0."""
-    return F.when(F.length(col) == 0, F.lit(0)).otherwise(F.size(F.split(col, " ")))
+    """Whitespace token count; empty or whitespace-only string -> 0."""
+    return F.size(tokens(col))
 
 
 def word_token_count(col) -> Column:
@@ -75,7 +78,11 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     token count, mean word length, alpha ratio, punctuation density, uppercase
     ratio, repetition proxy (distinct/total tokens)."""
     t = F.col(text_col)
-    toks = F.split(t, r"\s+")
+    # drop the empty tokens a \s+ split leaves at the text's edges: web text
+    # routinely ends with a newline, and counting the '' token would inflate
+    # q_n_tokens, deflate q_mean_word_len, and admit '' as a distinct token —
+    # skewing exactly the threshold gates these features feed
+    toks = F.filter(F.split(t, r"\s+"), lambda x: x != "")
     n_tok = F.size(toks)
     n_chars = F.length(t)
     return df.withColumns(

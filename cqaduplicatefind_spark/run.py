@@ -134,13 +134,23 @@ def main(argv: list[str] | None = None) -> int:
         "config_fingerprint": cfg.fingerprint(),
         "stage_metrics": result.stage_metrics,
     }
-    # driver writes the small metrics blob; stage-level metrics live in the
-    # warehouse manifests when --warehouse is set
-    import os
-
-    os.makedirs(args.output, exist_ok=True)
-    with open(f"{args.output}/metrics.json", "w") as f:
-        json.dump(metrics, f, indent=2)
+    # the small metrics blob goes through the Hadoop filesystem API so it
+    # lands NEXT TO clusters/ and edges/ for any --output scheme (hdfs://,
+    # s3a://, file:/). Driver-local open() would write a literal
+    # 'hdfs:/...' directory on the driver's disk — the data outputs succeed
+    # while the metrics file silently lands somewhere else entirely.
+    # Stage-level metrics live in the warehouse manifests when --warehouse
+    # is set.
+    blob = json.dumps(metrics, indent=2)
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(f"{args.output}/metrics.json")
+    fs = path.getFileSystem(hconf)
+    out = fs.create(path, True)
+    try:
+        out.write(bytearray(blob.encode("utf-8")))
+    finally:
+        out.close()
     print(json.dumps(metrics))
     return 0
 

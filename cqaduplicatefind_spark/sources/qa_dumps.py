@@ -37,11 +37,23 @@ def read_question_dumps(spark: SparkSession, path: str) -> DataFrame:
     raw = spark.read.text(path, wholetext=True).select(
         F.input_file_name().alias("_file"), F.col("value")
     )
-    parsed = raw.select(
+    with_map = raw.select(
+        "_file",
+        F.from_json("value", f"map<string, {QUESTION_STRUCT}>").alias("_m"),
+    )
+    # fail loudly on malformed dumps: from_json returns NULL for invalid JSON
+    # and explode(NULL) emits zero rows, so a truncated download would
+    # otherwise silently erase the whole forum from the corpus (the
+    # reference's pd.read_json raises — so do we)
+    bad = [
+        r["_file"]
+        for r in with_map.where(F.col("_m").isNull()).select("_file").collect()
+    ]
+    if bad:
+        raise ValueError(f"read_question_dumps: malformed JSON dump(s): {bad}")
+    parsed = with_map.select(
         F.regexp_extract("_file", r"([^/]+?)(?:\.json)?$", 1).alias("forum"),
-        F.explode(
-            F.from_json("value", f"map<string, {QUESTION_STRUCT}>")
-        ).alias("question_id", "q"),
+        F.explode("_m").alias("question_id", "q"),
     )
     return parsed.select(
         "forum",
@@ -67,10 +79,14 @@ def write_pairs_csv(pairs: DataFrame, path: str) -> None:
 
 def read_pairs_csv(spark: SparkSession, path: str) -> DataFrame:
     """Reference-format pair CSV -> (q1_id, q1, q2_id, q2, dup); explicit schema,
-    never inferSchema (SURVEY §1.3)."""
+    never inferSchema (SURVEY §1.3). ``multiLine``: forum question text
+    routinely contains newlines, which ``write_pairs_csv`` emits as quoted
+    multi-line records — the default line-oriented reader would split such a
+    record mid-text into malformed rows."""
     return (
         spark.read.schema(PAIR_CSV_SCHEMA)
         .option("header", True)
+        .option("multiLine", True)
         .csv(path)
         .select(
             F.col("Q1ID").alias("q1_id"),

@@ -47,6 +47,25 @@ def test_counts_and_columns(spark):
     assert row.text.startswith("a@b.io")  # raw column untouched
 
 
+def test_counts_reconcile_with_placeholders_on_nested_shapes(spark):
+    """Counts are chained in redaction order: an IPv4-looking domain inside an
+    email redacts as ONE <EMAIL>, and n_ip must be 0 — n_<kind> always equals
+    the number of <KIND> placeholders in clean_text (a raw-text count would
+    report n_ip=1 for a page whose redacted text contains no IP)."""
+    df = with_pii_redacted(
+        spark.createDataFrame(
+            [("u1", "mail user@10.1.2.3.example.net and real 10.9.8.7 here")],
+            "url string, text string",
+        )
+    )
+    row = df.collect()[0]
+    assert row.clean_text == "mail <EMAIL> and real <IP> here"
+    assert row.n_email == 1 and row.n_ip == 1 and row.n_phone == 0
+    for kind, n in (("<EMAIL>", row.n_email), ("<IP>", row.n_ip),
+                    ("<PHONE>", row.n_phone)):
+        assert row.clean_text.count(kind) == n
+
+
 def test_redaction_enables_exact_dedup(spark):
     """Two pages differing only in contact lines become byte-identical after
     redaction — the property the dedup pipeline relies on."""

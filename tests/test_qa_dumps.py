@@ -78,3 +78,37 @@ def test_dump_to_labeled_pairs_to_csv_roundtrip(spark, dump_dir, tmp_path):
     # exact content round-trip
     assert pairs.exceptAll(back).count() == 0
     assert back.exceptAll(pairs).count() == 0
+
+
+def test_pairs_csv_roundtrips_newlines_and_quotes(spark, tmp_path):
+    """Forum text contains newlines and quotes; write_pairs_csv emits them as
+    quoted multi-line records and read_pairs_csv must reassemble them (the
+    default line-oriented reader split such records into malformed rows)."""
+    pairs = spark.createDataFrame(
+        [
+            ("a", 'first line\nsecond "quoted" line', "b", "plain", 1),
+            ("c", "text, with comma", "d", "tab\there", 0),
+        ],
+        "q1_id string, q1 string, q2_id string, q2 string, dup int",
+    )
+    out = str(tmp_path / "csv")
+    write_pairs_csv(pairs, out)
+    back = read_pairs_csv(spark, out)
+    assert back.count() == 2
+    assert pairs.exceptAll(back).count() == 0
+    assert back.exceptAll(pairs).count() == 0
+
+
+def test_malformed_dump_raises(spark, tmp_path):
+    """A truncated/invalid dump must raise, not silently erase the forum
+    (from_json -> NULL -> explode emits no rows; the reference's pd.read_json
+    raises on the same input)."""
+    good = tmp_path / "good.json"
+    good.write_text(json.dumps({"1": {"title": "t", "body": "b", "dups": []}}))
+    bad = tmp_path / "bad.json"
+    bad.write_text('{"1": {"title": "t", "body"')  # truncated
+    with pytest.raises(ValueError, match="malformed"):
+        read_question_dumps(spark, str(tmp_path / "*.json")).count()
+    # a directory of only-good files still reads
+    bad.unlink()
+    assert read_question_dumps(spark, str(tmp_path / "*.json")).count() == 1

@@ -36,7 +36,7 @@ def test_lang_id(spark):
 
 def test_token_counts(spark):
     df = spark.createDataFrame(
-        [("a", "one two three"), ("b", ""), ("c", "hello, world! v2.0")],
+        [("a", "one two\tthree\n"), ("b", ""), ("c", "hello, world! v2.0")],
         "id string, text string",
     )
     got = {
