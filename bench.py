@@ -98,18 +98,23 @@ def bench_pipeline(spark, sf_dir: str) -> dict[str, float]:
             .collect()
         )
 
-    # min of two runs: first execution pays one-time per-worker cache warmup
-    # (stemmer/token-hash memos); steady-state is what scales to a cluster
-    t1, _ = _cooled(_sig)
-    t2, _ = _cooled(_sig)
-    times["signatures"] = min(t1, t2)
+    # min of three runs with per-run evidence: first execution pays one-time
+    # per-worker cache warmup (stemmer/token-hash memos); steady-state is what
+    # scales to a cluster. The per-run lists ride into the artifact (_runs) so
+    # a throttled driver-side number is visibly throttle, not a plan change
+    # (r3: driver saw lsh_candidates 8.99s vs builder 3.73s with no evidence
+    # in the artifact to adjudicate).
+    sig_runs = [_cooled(_sig)[0] for _ in range(3)]
+    times["signatures"] = min(sig_runs)
 
     signatures = signature_stage(normalize_stage(pages, cfg), cfg).cache()
     signatures.count()
 
-    t1, n_cand = _cooled(lambda: candidate_stage(signatures, cfg).count())
-    t2, _ = _cooled(lambda: candidate_stage(signatures, cfg).count())
-    times["lsh_candidates"] = min(t1, t2)
+    cand_runs = []
+    for _ in range(3):
+        t, n_cand = _cooled(lambda: candidate_stage(signatures, cfg).count())
+        cand_runs.append(t)
+    times["lsh_candidates"] = min(cand_runs)
     signatures.unpersist()
 
     # run_pipeline executes the CC driver loop eagerly, so time the whole call.
@@ -169,25 +174,24 @@ def bench_pipeline(spark, sf_dir: str) -> dict[str, float]:
     times["full_pipeline"] = min(t_nospan)
     times["full_pipeline_with_span"] = min(t_span)
     times["_runs"] = {
+        "signatures": [round(x, 2) for x in sig_runs],
+        "lsh_candidates": [round(x, 2) for x in cand_runs],
         "full_pipeline": [round(x, 2) for x in t_nospan],
         "full_pipeline_with_span": [round(x, 2) for x in t_span],
     }
-    # span overhead as the MEDIAN of per-iteration paired deltas, not the gap
-    # between per-flavor minima: each iteration times the two flavors
-    # back-to-back, so its delta cancels whatever throttle state the host was
-    # in, while two minima can land in different burst windows and report a
-    # "delta" that is pure drift (r3: min-gap said +19% while every paired
-    # warm measurement said ~+8%). Median over iterations drops the case where
-    # one leg of a pair straddles a throttle edge.
-    deltas = sorted(s - n for n, s in zip(t_nospan, t_span))
-    # the paired full-run deltas estimate a ~1s quantity as the difference of
-    # two ~14s runs, each with multi-second hypervisor-throttle noise — they
-    # corroborate but do not converge at 4 pairs. span_stage_* is the DIRECT
-    # measurement: run_pipeline times the span branch's extra work (het
-    # discovery job, verify, second CC when spans exist) inside every timed
-    # with-span run, so its noise scales with the ~1s segment, not the run.
-    # It excludes only the winnow fingerprints computed inside the signature
-    # UDF (microbenched at ~0.09s/2000 docs/core — ~0.13s here, documented in
+    # Span overhead is reported DIRECT-ONLY (span_stage_*): run_pipeline times
+    # the span branch's extra work (het discovery job, verify, second CC when
+    # spans exist) inside every timed with-span run, so its noise scales with
+    # the ~1s segment being measured. The r2/r3 paired-delta corroboration —
+    # median of per-iteration (span - nospan) full-run deltas — estimated the
+    # same ~1s quantity as the difference of two ~15s runs, each carrying
+    # multi-second hypervisor-throttle noise; at 4 pairs it does not converge
+    # (r3 driver artifact: paired median said 17% beside a 9.2% direct
+    # measurement of the same quantity). The raw per-flavor run lists stay in
+    # the artifact (_runs) so anyone can recompute a paired estimate; we no
+    # longer derive a headline number from it. The direct measurement excludes
+    # only the winnow fingerprints computed inside the signature UDF
+    # (microbenched at ~0.09s/2000 docs/core — ~0.13s here, documented in
     # BASELINE.md).
     def _median(xs: list[float]) -> float:
         if not xs:
@@ -196,13 +200,8 @@ def bench_pipeline(spark, sf_dir: str) -> dict[str, float]:
         m = len(s) // 2
         return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
 
-    med_delta = _median(deltas)
     med_nospan = _median(t_nospan)
-    times["_span_overhead"] = {
-        "paired_deltas_sec": [round(d, 2) for d in deltas],
-        "median_delta_sec": round(med_delta, 2),
-        "median_delta_pct": round(100.0 * med_delta / med_nospan, 1),
-    }
+    times["_span_overhead"] = {}
     if span_extra:  # absent (not NaN — invalid strict JSON) if no run set it
         # min mirrors the headline min-of-4 convention (the unthrottled-machine
         # number); median is the typical-run number. Both denominators use the
@@ -277,19 +276,24 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "bm25_topk_retrieval",
     ]
     qs = entry_mod.queries()
-    out = {}
-    # one full cool-down after the sustained pipeline legs: the burst budget is
-    # drained by then, and the first queries otherwise measure the throttle
-    # (r3 observation: ngram_jaccard_pairs 3x slower when run 2s after the
-    # pipeline legs than in isolation)
-    time.sleep(COOLDOWN_SEC)
-    for name in names:
-        # min of two runs: steady-state throughput, not FS-cache/codegen noise;
-        # a short idle gap per query keeps the hypervisor burst budget topped up
-        time.sleep(min(COOLDOWN_SEC, 5))
-        t1, _ = _timed(lambda: qs[name](spark, sf_dir).count())
-        t2, _ = _timed(lambda: qs[name](spark, sf_dir).count())
-        out[name] = min(t1, t2)
+    runs: dict[str, list[float]] = {n: [] for n in names}
+    # min-of-3 with the PASSES interleaved across the whole singleton list
+    # (pass 1 times every query once, then pass 2, then pass 3) — the same
+    # treatment that cured the pipeline flavors' slot bias in r3. Back-to-back
+    # min-of-2 per query let a single hypervisor throttle window swallow both
+    # runs of whichever query it landed on (r3 driver artifact:
+    # retrieval_metrics_p_at_k 8.42s vs 1.74s same-code builder run);
+    # interleaving spreads each query's three samples ~minutes apart, so one
+    # window can tax at most one sample and the min recovers the warm number.
+    # Pass 1 additionally absorbs each query's one-time codegen/FS-cache cost.
+    for pass_i in range(3):
+        for name in names:
+            # short idle gap per timing keeps the burst budget topped up
+            time.sleep(2 if pass_i else min(COOLDOWN_SEC, 5))
+            t, _ = _timed(lambda: qs[name](spark, sf_dir).count())
+            runs[name].append(t)
+    out = {name: min(rs) for name, rs in runs.items()}
+    out["_runs"] = {name: [round(x, 2) for x in rs] for name, rs in runs.items()}
     return out
 
 
@@ -330,13 +334,19 @@ def main():
     # every worker) so timings reflect steady-state throughput, not interpreter boot
     _warmup(spark, int(cpus))
 
+    # singleton queries run FIRST, on a freshly-warmed session with the burst
+    # quota full — the r3 driver artifact ran them after ~4 minutes of
+    # sustained pipeline load and measured the drained quota, not the code
+    # (8.42s retrieval_metrics_p_at_k vs 1.74s same-code with fresh quota)
     queries: dict[str, float] = {}
+    singles = bench_queries(spark, sf_dir)
+    query_runs = singles.pop("_runs", {})
     pipe = bench_pipeline(spark, sf_dir)
     n_docs = int(pipe.pop("_n_docs"))
     pipeline_runs = pipe.pop("_runs", {})
     span_overhead = pipe.pop("_span_overhead", {})
     queries.update({k: round(v, 3) for k, v in pipe.items()})
-    queries.update({k: round(v, 3) for k, v in bench_queries(spark, sf_dir).items()})
+    queries.update({k: round(v, 3) for k, v in singles.items()})
 
     total = round(sum(queries.values()), 3)
     docs_per_sec = round(n_docs / pipe["full_pipeline"], 1)
@@ -355,6 +365,10 @@ def main():
                 # variance (hypervisor burst throttling) visible in the
                 # artifact itself instead of only in the min
                 "pipeline_runs": pipeline_runs,
+                # per-run lists for the interleaved singleton queries: one
+                # throttled sample shows up as an outlier next to two warm
+                # ones instead of silently inflating the min
+                "query_runs": query_runs,
                 # drift-cancelled span-pass cost (see bench_pipeline): the
                 # honest flavor comparison, robust where min(span)-min(nospan)
                 # is not

@@ -61,9 +61,10 @@ def bm25_topk(
     exclude_self: bool | None = None,
 ) -> DataFrame:
     """(query_id, candidate_id, bm25, rank): top-``k`` corpus docs per query by
-    BM25Okapi score (ties broken by candidate id; zero-score docs never appear
-    — a doc sharing no query term is unranked, matching how the reference's
-    top-10 slice treats all-zero rows as noise).
+    BM25Okapi score (ties broken by candidate id; a doc sharing no query term
+    is unranked, matching how the reference's top-10 slice treats all-zero
+    rows as noise — a doc matched only through zero-idf terms still ranks,
+    with score 0, exactly like rank_bm25's zero entries in ``get_scores``).
 
     ``queries=None`` is self-retrieval (every doc queries the corpus);
     ``exclude_self`` drops the qid==doc_id hit. Its default (``None``) means
@@ -101,7 +102,7 @@ def bm25_topk(
     idf = idf_raw.crossJoin(avg_idf).select(
         "term",
         "df",
-        F.when(F.col("idf_raw") > 0, F.col("idf_raw"))
+        F.when(F.col("idf_raw") >= 0, F.col("idf_raw"))
         .otherwise(epsilon * F.col("avg_idf"))
         .alias("idf"),
     )

@@ -58,7 +58,8 @@ def labeled_pairs(
       forward cursor with an end cursor; here rank j pairs rank j + ~n/2
       cyclically, which keeps the far-apart spirit and — unlike a literal
       mirror pairing — never emits the same unordered pair twice while
-      ``need`` <= n_non).
+      ``need`` <= n_non; pools of <= 2 non-dup docs, where no cyclic offset
+      can avoid mirroring, are canonicalized and deduped instead).
 
     All negatives are anti-joined against gold edges (``check_dup``, symmetric).
     A pool smaller than the demand under-delivers gracefully (ranks wrap for
@@ -136,6 +137,19 @@ def labeled_pairs(
     )
     bwd = ordered.select(F.col("id").alias("q2_id"), F.col("r").alias("k"))
     pool = fwd.join(bwd, "k").select("q1_id", "q2_id")
+    if 0 < n_non <= 2:
+        # With n_non <= 2 every offset is self-inverse mod n_non (2o ≡ 0), so
+        # the cyclic pairing emits each unordered pair from both ends and the
+        # no-repeat guarantee above cannot hold. Canonicalize (lower id first
+        # — deterministic, partition-independent) and keep one.
+        pool = (
+            pool.select(
+                F.least("q1_id", "q2_id").alias("_lo"),
+                F.greatest("q1_id", "q2_id").alias("_hi"),
+            )
+            .distinct()
+            .select(F.col("_lo").alias("q1_id"), F.col("_hi").alias("q2_id"))
+        )
 
     neg = (
         anchored.unionByName(pool)

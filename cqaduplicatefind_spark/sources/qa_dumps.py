@@ -44,13 +44,26 @@ def read_question_dumps(spark: SparkSession, path: str) -> DataFrame:
     # fail loudly on malformed dumps: from_json returns NULL for invalid JSON
     # and explode(NULL) emits zero rows, so a truncated download would
     # otherwise silently erase the whole forum from the corpus (the
-    # reference's pd.read_json raises — so do we)
-    bad = [
-        r["_file"]
-        for r in with_map.where(F.col("_m").isNull()).select("_file").collect()
-    ]
-    if bad:
-        raise ValueError(f"read_question_dumps: malformed JSON dump(s): {bad}")
+    # reference's pd.read_json raises — so do we). The guard is IN the plan
+    # (raise_error on the NULL branch) rather than an eager collect: one JSON
+    # parse per file total, and the reader stays lazy — an eager pre-check
+    # would wholetext-parse every dump twice per call. Being lazy, the error
+    # surfaces at the first action instead of at read() — the Spark-native
+    # analog of pandas' read-time raise.
+    with_map = with_map.select(
+        "_file",
+        F.when(
+            F.col("_m").isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit("read_question_dumps: malformed JSON dump: "),
+                    F.col("_file"),
+                )
+            ).cast(f"map<string, {QUESTION_STRUCT}>"),
+        )
+        .otherwise(F.col("_m"))
+        .alias("_m"),
+    )
     parsed = with_map.select(
         F.regexp_extract("_file", r"([^/]+?)(?:\.json)?$", 1).alias("forum"),
         F.explode("_m").alias("question_id", "q"),

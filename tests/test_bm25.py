@@ -21,7 +21,10 @@ def _local_bm25(corpus: dict[int, list[str]], query: list[str],
             df[w] = df.get(w, 0) + 1
     idf = {w: math.log((n_docs - n + 0.5) / (n + 0.5)) for w, n in df.items()}
     avg_idf = sum(idf.values()) / len(idf)
-    idf = {w: (v if v > 0 else epsilon * avg_idf) for w, v in idf.items()}
+    # rank_bm25 floors only STRICTLY negative idfs (``if idf < 0`` in
+    # BM25Okapi._calc_idf); a term with df == n_docs/2 has idf_raw == 0 and
+    # keeps it — it scores 0, not epsilon * avg_idf.
+    idf = {w: (v if v >= 0 else epsilon * avg_idf) for w, v in idf.items()}
     out = {}
     for did, doc in corpus.items():
         tf: dict[str, int] = {}
@@ -152,3 +155,31 @@ def test_bm25_topk_rank_and_tiebreak(spark):
     q = spark.createDataFrame([(9, "x y")], "doc_id long, text string")
     out = bm25_topk(docs, q, k=2).orderBy("rank").collect()
     assert [(r.candidate_id, r.rank) for r in out] == [(1, 1), (2, 2)]
+
+
+def test_bm25_zero_idf_term_scores_zero_not_epsilon(spark):
+    """A term in EXACTLY half the corpus has idf_raw == ln(1) == 0.
+    rank_bm25's BM25Okapi floors only idf < 0 (``if idf < 0`` in
+    ``_calc_idf``), so that term contributes 0 — not epsilon * avg_idf.
+    Pin it directly: querying "half uniq3" must score doc 3 identically to
+    querying "uniq3" alone."""
+    corpus = _fixture()  # 12 docs
+    for i in range(6):
+        corpus[i] = corpus[i] + ["half"]  # df('half') == 6 == n_docs/2
+    docs = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in corpus.items()], "doc_id long, text string"
+    )
+    q_both = spark.createDataFrame([(99, "half uniq3")], "doc_id long, text string")
+    q_uniq = spark.createDataFrame([(99, "uniq3")], "doc_id long, text string")
+    both = {r.candidate_id: r.bm25 for r in bm25_topk(docs, q_both, k=100).collect()}
+    uniq = {r.candidate_id: r.bm25 for r in bm25_topk(docs, q_uniq, k=100).collect()}
+    # doc 3 matched via uniq3; 'half' adds exactly nothing to its score
+    assert both[3] == pytest.approx(uniq[3], abs=2e-6)
+    # docs matched ONLY via 'half' (doc 3 also holds uniq3) carry a 0.0 score
+    # (candidate via the join, zero contribution), mirroring rank_bm25's zero
+    # entries in get_scores
+    for i in [0, 1, 2, 4, 5]:
+        assert both[i] == pytest.approx(0.0, abs=2e-6)
+    # and the local oracle (with the corrected >= floor) agrees on doc 3
+    want = _local_bm25(corpus, ["half", "uniq3"])
+    assert both[3] == pytest.approx(round(want[3], 6), abs=2e-6)

@@ -104,3 +104,27 @@ def test_labeled_pairs_no_single_partition_exchange(spark, tiny_fixture):
     pairs = labeled_pairs(docs, gold)
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_tiny_pool_n_non_2_no_duplicate_negatives(spark):
+    """With exactly 2 non-dup docs no cyclic offset avoids mirroring
+    (2o ≡ 0 mod 2 for every o): ranks 1 and 2 would emit the same unordered
+    pool pair twice. The canonicalize-and-dedup branch must collapse it to
+    one labeled row."""
+    rows = [
+        ("d01", "alpha beta gamma", ["d02"]),
+        ("d02", "alpha beta gamma delta", ["d01"]),
+        ("n01", "unique text one", []),
+        ("n02", "unique text two", []),
+    ]
+    docs = spark.createDataFrame(
+        rows, "url string, norm_text string, dups array<string>"
+    )
+    gold = gold_edges_from_dups(docs)
+    # negatives_per_positive=4 -> need = 2*(4-1) = 6 >= 2: both pool ranks emit
+    out = labeled_pairs(docs, gold, negatives_per_positive=4).collect()
+    neg = [r for r in out if r.dup == 0]
+    unordered = [tuple(sorted((r.q1_id, r.q2_id))) for r in neg]
+    assert len(unordered) == len(set(unordered)), unordered
+    # the n01-n02 pool pair survives exactly once
+    assert unordered.count(("n01", "n02")) == 1

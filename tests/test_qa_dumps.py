@@ -107,7 +107,10 @@ def test_malformed_dump_raises(spark, tmp_path):
     good.write_text(json.dumps({"1": {"title": "t", "body": "b", "dups": []}}))
     bad = tmp_path / "bad.json"
     bad.write_text('{"1": {"title": "t", "body"')  # truncated
-    with pytest.raises(ValueError, match="malformed"):
+    # the guard lives IN the plan (lazy raise_error — keeps the read single-
+    # pass), so the failure surfaces at the first action as a Spark exception
+    # carrying the malformed file's name
+    with pytest.raises(Exception, match="malformed"):
         read_question_dumps(spark, str(tmp_path / "*.json")).count()
     # a directory of only-good files still reads
     bad.unlink()
