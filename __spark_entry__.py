@@ -3476,6 +3476,134 @@ def q_crawl_corpus_end_to_end(spark, sf):
     return canonical_per_cluster(result.clusters, quality, "quality")
 
 
+# ---------- multimodal: codec paths on executors (SURVEY "multimodal") ----------
+
+@_register(
+    "multimodal_phash_groups",
+    """
+    SELECT CAST(min(doc_id) AS BIGINT) AS canonical_id,
+           CAST(count(*) AS BIGINT) AS n_members
+    FROM documents GROUP BY doc_id % 37
+    """,
+)
+def q_multimodal_phash_groups(spark, sf):
+    """IMAGE perceptual-hash dedup groups with the REAL JPEG codec in the
+    executor path: every document synthesizes a deterministic 32x32 grayscale
+    pattern keyed by ``doc_id % 37`` (the class code written in binary as
+    white 4x4 blocks), encodes it as baseline JFIF (``jpegcodec.encode_jpeg``, pure-numpy
+    ITU-T T.81), decodes it back (``decode_jpeg`` — full marker parse, Huffman,
+    dequant, IDCT), and aHashes the decoded pixels (``videocodec.ahash64``).
+    Same pattern -> same bytes -> same decode -> same 64-bit phash, so the
+    groupBy on phash must reproduce exactly the ``doc_id % 37`` partition — the
+    DuckDB oracle recomputes (min id, count) per class without ever touching
+    the codec. A decode bug (wrong Huffman path, IDCT drift across batches,
+    non-determinism) splits or merges groups and hash-mismatches. Both codec
+    legs run Arrow-batched on executors (``mapInPandas``) — the 100-TB shape:
+    payload bytes never leave the worker, only the 8-byte phash shuffles."""
+
+    def synth_and_hash(it):
+        import numpy as np
+        import pandas as pd
+
+        from cqaduplicatefind_spark.functions.jpegcodec import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+        from cqaduplicatefind_spark.functions.videocodec import ahash64
+
+        for pdf in it:
+            ids, hashes = [], []
+            for d in pdf["doc_id"]:
+                pat = int(d) % 37
+                # class code in binary as white 4x4 blocks on black: each
+                # aHash grid cell maps 1:1 to one block, so distinct codes ->
+                # distinct hashes by construction (white ~255 >> grid mean,
+                # black ~0 << it — JPEG ringing can't flip a block)
+                img = np.zeros((32, 32), dtype=np.uint8)
+                code = pat + 1  # 1..37: at least one white block
+                for c in range(6):
+                    if (code >> c) & 1:
+                        r, col = divmod(c, 8)
+                        img[4 * r : 4 * (r + 1), 4 * col : 4 * (col + 1)] = 255
+                payload = encode_jpeg(img, quality=90)
+                decoded = decode_jpeg(payload)
+                ids.append(int(d))
+                hashes.append(ahash64(decoded))
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"),
+                 "phash": pd.Series(hashes, dtype="int64")}
+            )
+
+    docs = _read(spark, sf, "documents").select("doc_id")
+    hashed = docs.mapInPandas(synth_and_hash, "doc_id long, phash long")
+    return hashed.groupBy("phash").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count("*").alias("n_members"),
+    ).select("canonical_id", "n_members")
+
+
+@_register(
+    "multimodal_audio_dedup",
+    """
+    SELECT CAST(min(doc_id) AS BIGINT) AS canonical_id,
+           CAST(count(*) AS BIGINT) AS n_members
+    FROM documents GROUP BY doc_id % 29
+    """,
+)
+def q_multimodal_audio_dedup(spark, sf):
+    """AUDIO fingerprint dedup groups with the real WAV codec + spectral
+    fingerprint on executors: every document synthesizes a deterministic tone
+    clip keyed by ``doc_id % 29`` (the class code written in binary as a
+    5-tone chord, 0.5 s at 8 kHz), round-trips it through 16-bit PCM WAV
+    (``audio.encode_wav`` / ``decode_wav``), and fingerprints the decoded
+    samples with the log-band-energy SimHash (``audio.audio_simhash``).
+    Same class -> identical samples -> identical 64-bit fingerprint; the
+    DuckDB oracle recomputes the ``doc_id % 29`` partition codec-free, so any
+    decode/framing/FFT nondeterminism hash-mismatches. Arrow-batched
+    ``mapInPandas``; only the 8-byte fingerprint shuffles."""
+
+    def synth_and_fp(it):
+        import numpy as np
+        import pandas as pd
+
+        from cqaduplicatefind_spark.functions.audio import (
+            audio_simhash,
+            decode_wav,
+            encode_wav,
+        )
+
+        rate = 8000
+        t = np.arange(rate // 2, dtype=np.float64) / rate
+        # class code in binary as a 5-tone chord (400..2000 Hz — inside the
+        # fingerprint's discriminative band range; measured: all 29 codes map
+        # to distinct simhashes, while single tones below ~400 Hz fall under
+        # the first log band and collide)
+        freqs = [400.0, 800.0, 1200.0, 1600.0, 2000.0]
+        for pdf in it:
+            ids, fps = [], []
+            for d in pdf["doc_id"]:
+                cls = int(d) % 29
+                code = cls + 1  # 1..29: at least one tone
+                wave = np.zeros_like(t)
+                for b in range(5):
+                    if (code >> b) & 1:
+                        wave += 0.18 * np.sin(2 * np.pi * freqs[b] * t)
+                samples, got_rate = decode_wav(encode_wav(wave, rate))
+                ids.append(int(d))
+                fps.append(audio_simhash(samples, got_rate))
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"),
+                 "fp": pd.Series(fps, dtype="int64")}
+            )
+
+    docs = _read(spark, sf, "documents").select("doc_id")
+    fps = docs.mapInPandas(synth_and_fp, "doc_id long, fp long")
+    return fps.groupBy("fp").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count("*").alias("n_members"),
+    ).select("canonical_id", "n_members")
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -3504,6 +3632,8 @@ _STABLE_TAIL = [
     "time_window_agg",
     "latest_event_per_user",
     "embedding_norms",
+    "token_count_stats",
+    "doc_fingerprint",
 ]
 
 
