@@ -119,11 +119,30 @@ def _unpersist_rdd_ids(spark, ids) -> None:
             rdd.unpersist(False)
 
 
+class CheckpointHandle:
+    """``unpersist()``-compatible handle that releases localCheckpoint RDD
+    blocks by id. Rides ``PipelineResult.persisted`` next to cached frames —
+    ``release()`` duck-types on ``unpersist()``. Needed because
+    ``DataFrame.unpersist()`` does NOT free localCheckpoint blocks (it only
+    uncaches cacheManager entries); after the handle fires, frames derived
+    from the checkpoint can no longer be recomputed — callers release only
+    when done consuming."""
+
+    def __init__(self, spark, rdd_ids) -> None:
+        self._spark = spark
+        self._ids = set(rdd_ids)
+
+    def unpersist(self) -> None:
+        _unpersist_rdd_ids(self._spark, self._ids)
+        self._ids = set()
+
+
 def connected_components(
     edges: DataFrame,
     max_iterations: int = 50,
     assume_unconverged: bool = False,
     input_distinct: bool = False,
+    persisted: list | None = None,
 ) -> DataFrame:
     """edges(id_a, id_b) -> assignments(id, cluster_id) for every node that appears
     in an edge. cluster_id = min node id in the component. Callers attach singletons
@@ -144,7 +163,11 @@ def connected_components(
     cannot introduce duplicates.
 
     The final round's checkpoint stays alive (the returned plan reads from it);
-    every earlier round is unpersisted as soon as it is superseded."""
+    every earlier round is unpersisted as soon as it is superseded. Pass
+    ``persisted`` (a list) to receive a ``CheckpointHandle`` for that final
+    checkpoint — ``run_pipeline`` hands it to ``PipelineResult.persisted`` so
+    ``release()`` frees it; without the handle the blocks stay pinned for the
+    session lifetime (the round-4 runner-leak finding)."""
     spark = edges.sparkSession
     before = _persistent_rdd_ids(spark)
     cur = (
@@ -182,6 +205,8 @@ def connected_components(
         live = _persistent_rdd_ids(spark) - pre
         rounds += 1
 
+    if persisted is not None:
+        persisted.append(CheckpointHandle(spark, live))
     # at convergence every edge is (node, component-min)
     assign = cur.select(F.col("id_a").alias("id"), F.col("id_b").alias("cluster_id"))
     roots = cur.select(F.col("id_b").alias("id"), F.col("id_b").alias("cluster_id"))

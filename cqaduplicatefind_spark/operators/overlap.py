@@ -350,22 +350,11 @@ def _span_candidates(
     )
 
 
-class _CheckpointHandle:
-    """``unpersist()``-compatible handle that releases localCheckpoint RDD
-    blocks by id. Rides ``PipelineResult.persisted`` next to cached frames —
-    ``release()`` duck-types on ``unpersist()``."""
-
-    def __init__(self, spark, rdd_ids) -> None:
-        self._spark = spark
-        self._ids = set(rdd_ids)
-
-    def unpersist(self) -> None:
-        from cqaduplicatefind_spark.operators.connected_components import (
-            _unpersist_rdd_ids,
-        )
-
-        _unpersist_rdd_ids(self._spark, self._ids)
-        self._ids = set()
+# moved to connected_components.CheckpointHandle (shared with the CC final-
+# round checkpoint); re-exported here for the existing call sites
+from cqaduplicatefind_spark.operators.connected_components import (  # noqa: E402
+    CheckpointHandle as _CheckpointHandle,
+)
 
 
 def exact_span_edges(

@@ -296,6 +296,7 @@ def run_pipeline(
             lambda: connected_components(
                 edges.select("id_a", "id_b"),
                 assume_unconverged=True, input_distinct=True,
+                persisted=persisted,
             ),
             # consumed by exact_span_edges (fingerprint-row join) AND by the
             # final clusters stage: CC's return value re-runs its
@@ -341,7 +342,9 @@ def run_pipeline(
                 "clusters",
                 lambda: attach_singletons(
                     pages.select("url"),
-                    connected_components(all_edges, input_distinct=True),
+                    connected_components(
+                        all_edges, input_distinct=True, persisted=persisted
+                    ),
                 ),
             )
         if timings is not None:
@@ -362,6 +365,7 @@ def run_pipeline(
                 connected_components(
                     edges.select("id_a", "id_b"),
                     assume_unconverged=True, input_distinct=True,
+                    persisted=persisted,
                 ),
             ),
         )

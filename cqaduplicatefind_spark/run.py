@@ -151,6 +151,13 @@ def main(argv: list[str] | None = None) -> int:
         out.write(bytearray(blob.encode("utf-8")))
     finally:
         out.close()
+    # every output is written and metrics are re-read from disk above, so the
+    # pipeline's cached frames (signatures, candidates, base edges) are done:
+    # release them. Under spark-submit the session usually ends right after,
+    # but a long-lived session re-invoking main() (notebook driver, repeated
+    # --resume runs against one session) would otherwise accrete executor
+    # storage per invocation.
+    result.release()
     print(json.dumps(metrics))
     return 0
 

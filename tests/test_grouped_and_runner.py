@@ -188,3 +188,37 @@ def test_spark_submit_runner(tmp_path_factory):
     assert proc2.returncode == 0, proc2.stderr[-4000:]
     m2 = json.load(open(f"{out}/metrics.json"))
     assert m2["n_nontrivial_members"] == 3
+
+
+def test_runner_releases_persisted_frames(spark, tmp_path):
+    """run.main() must release the pipeline's cached frames after the outputs
+    and metrics are written: a long-lived session re-invoking the runner
+    (notebook driver, repeated --resume runs) would otherwise accrete executor
+    storage per invocation. Compare the session's persisted-RDD set before and
+    after — the runner may add NOTHING to it."""
+    from cqaduplicatefind_spark import run as run_mod
+
+    rows = []
+    for i in range(30):
+        text = f"row {i} " + " ".join(f"w{i}x{j}" for j in range(15))
+        rows.append((f"u{i}", text))
+        if i < 2:
+            rows.append((f"u{i}-copy", text))
+    spark.createDataFrame(rows, "url string, text string").write.parquet(
+        str(tmp_path / "pages.parquet")
+    )
+
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    rc = run_mod.main(
+        [
+            "--input", str(tmp_path / "pages.parquet"),
+            "--output", str(tmp_path / "out"),
+            "--shingle-k", "3",
+            "--jaccard-threshold", "0.7",
+            "--shuffle-partitions", "8",
+        ]
+    )
+    assert rc == 0
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    leaked = after - before
+    assert not leaked, f"runner leaked persisted RDD ids: {sorted(leaked)}"
