@@ -1292,6 +1292,7 @@ def q_pipeline_grouped(spark, sf):
         F.col("doc_id").cast("string").alias("url"), "text", F.col("source")
     )
     result = run_pipeline(spark, pages, _doc_config(), group_col="source")
+    _fresh_handles("pipe_per_source").extend(result.persisted)
     return result.clusters
 
 
@@ -1684,6 +1685,7 @@ def q_qa_dumps_end_to_end(spark, sf):
         "forum",
     )
     result = run_pipeline(spark, pages, cfg, use_html=True, group_col="forum")
+    _fresh_handles("pipe_qa_dumps").extend(result.persisted)
     gold = gold_edges_from_dups(questions, id_col="question_id", dups_col="dups")
     # deterministic retrieval pool: the cluster closure of the accepted edge
     # set, scored by exact Jaccard (see docstring; max_cluster_size lifted so
@@ -1715,6 +1717,7 @@ def q_pipeline_clusters(spark, sf):
     docs = _read(spark, sf, "documents")
     pages = docs.select(F.col("doc_id").cast("string").alias("url"), "text")
     result = run_pipeline(spark, pages, _doc_config())
+    _fresh_handles("pipe_clusters").extend(result.persisted)
     return result.clusters
 
 
@@ -1764,6 +1767,7 @@ def q_pipeline_pairs(spark, sf):
     docs = _read(spark, sf, "documents")
     pages = docs.select(F.col("doc_id").cast("string").alias("url"), "text")
     result = run_pipeline(spark, pages, _edge_oracle_config())
+    _fresh_handles("pipe_cand_recall").extend(result.persisted)
     true_pairs = (
         ngram_jaccard_pairs(docs, 3, min_jaccard=0.7, df_cap=None)
         .select(
@@ -1849,6 +1853,7 @@ def q_pipeline_accepted_edges(spark, sf):
     docs = _read(spark, sf, "documents")
     pages = docs.select(F.col("doc_id").cast("string").alias("url"), "text")
     result = run_pipeline(spark, pages, _edge_oracle_config())
+    _fresh_handles("pipe_edges").extend(result.persisted)
     return result.edges.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
@@ -2161,6 +2166,7 @@ def q_pipeline_cluster_assignments(spark, sf):
     docs = _read(spark, sf, "documents")
     pages = docs.select(F.col("doc_id").cast("string").alias("url"), "text")
     result = run_pipeline(spark, pages, _edge_oracle_config())
+    _fresh_handles("pipe_assign").extend(result.persisted)
     return result.clusters.select("url", "cluster_id")
 
 
@@ -2209,6 +2215,7 @@ def q_grouped_cluster_assignments(spark, sf):
     result = run_pipeline(
         spark, pages, _edge_oracle_config(), group_col="source"
     )
+    _fresh_handles("pipe_grouped_assign").extend(result.persisted)
     return result.clusters.select("url", "cluster_id")
 
 
@@ -2250,6 +2257,7 @@ def q_canonical_docs(spark, sf):
     docs = _read(spark, sf, "documents")
     pages = docs.select(F.col("doc_id").cast("string").alias("url"), "text")
     result = run_pipeline(spark, pages, _edge_oracle_config())
+    _fresh_handles("pipe_canonical").extend(result.persisted)
     quality = docs.select(
         F.col("doc_id").cast("string").alias("url"),
         F.round(
@@ -3466,6 +3474,7 @@ def q_crawl_corpus_end_to_end(spark, sf):
         F.col("canonical_url").alias("url"), F.col("page").alias("text")
     )
     result = run_pipeline(spark, pages, _edge_oracle_config())
+    _fresh_handles("pipe_crawl").extend(result.persisted)
     quality = pages.select(
         "url",
         F.round(

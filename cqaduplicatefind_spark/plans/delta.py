@@ -84,10 +84,20 @@ class DeltaResult:
         self.edges = edges
         self.stats = stats
         self._new_ids = new_ids
+        self._persisted: list = []
 
     @cached_property
     def surviving_new(self) -> DataFrame:
-        return surviving_new(self.edges, self._new_ids)
+        return surviving_new(self.edges, self._new_ids, persisted=self._persisted)
+
+    def release(self) -> None:
+        """Free the component resolution's localCheckpoint blocks (held so
+        ``surviving_new`` stays re-collectable). A recrawl driver looping
+        increments in one session accretes one checkpoint per increment
+        otherwise — same contract as ``PipelineResult.release``."""
+        for h in self._persisted:
+            h.unpersist()
+        self._persisted.clear()
 
 
 def _store_dirs(work_dir: str) -> tuple[str, str, str]:
@@ -166,7 +176,8 @@ def seed_index(
 
 
 def surviving_new(
-    edges: DataFrame, new_ids: DataFrame, id_col: str = "url"
+    edges: DataFrame, new_ids: DataFrame, id_col: str = "url",
+    persisted: list | None = None,
 ) -> DataFrame:
     """Apply the cluster-consistent survivor rule: components over ``edges``
     (bounded by the increment's duplicate pairs, never the corpus); any
@@ -176,7 +187,7 @@ def surviving_new(
     ids = new_ids.select(F.col(id_col).alias("url")).distinct()
     # accept_edges emits one row per undirected pair -> skip the initial dedup
     asg = connected_components(
-        edges.select("id_a", "id_b"), input_distinct=True
+        edges.select("id_a", "id_b"), input_distinct=True, persisted=persisted
     )
     members = asg.join(
         ids.select(F.col("url").alias("id"), F.lit(True).alias("_new")),

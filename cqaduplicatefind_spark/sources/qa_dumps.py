@@ -49,7 +49,11 @@ def read_question_dumps(spark: SparkSession, path: str) -> DataFrame:
     # parse per file total, and the reader stays lazy — an eager pre-check
     # would wholetext-parse every dump twice per call. Being lazy, the error
     # surfaces at the first action instead of at read() — the Spark-native
-    # analog of pandas' read-time raise.
+    # analog of pandas' read-time raise. (Catalyst collapses this projection
+    # into the one below, leaving two textual from_json references; codegen's
+    # subexpression elimination evaluates the parse once per row, and even in
+    # the interpreted worst case the cost is bounded by the old eager path's
+    # two full passes.)
     with_map = with_map.select(
         "_file",
         F.when(
