@@ -210,3 +210,17 @@ def test_bm25_plan_partial_agg_and_group_limit(spark, queries):
     assert "WindowGroupLimit" in plan, plan
     # corpus-stat frames (N/avgdl, avg_idf) ride broadcast, never a shuffle
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_multimodal_rows_are_narrow_maps(spark, queries):
+    """The codec rows must be ONE Arrow-batched MapInPandas per row (synthesize
+    + encode + decode + hash fused in a single Python pass — payload bytes
+    never leave the worker) feeding a map-side-combined hash aggregate; only
+    the 8-byte hash may ride the exchange, and no cartesian/NLJ anywhere."""
+    for name in ("multimodal_phash_groups", "multimodal_audio_dedup"):
+        plan = plan_of(queries[name](spark, SF), "simple")
+        assert plan.count("MapInPandas") == 1, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert plan.count("HashAggregate") == 2, name  # partial + final
+        assert plan.count("Exchange") == 1, name  # only the agg shuffle
