@@ -58,6 +58,13 @@ import time
 REPLICATE = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICATE", "60"))
 N_TRIALS = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "5"))
 GAP_SEC = int(os.environ.get("SPARK_GRAFT_SCALE_GAP", "10"))
+# per-child JVM heap. The 6g default is the measured sweet spot up to 1.2M
+# docs (bigger heaps trigger this host's page-fault pathology). At 2.4M docs
+# the 6g shared local-mode heap OOMs (first 16-way, then 4-way mid-trial) —
+# local[N] shares ONE heap across N ways, where a real N-executor cluster
+# scales aggregate memory with N. Override (documented in the artifact) for
+# sizes beyond the 6g budget.
+HEAP = os.environ.get("SPARK_GRAFT_SCALE_HEAP", "6g")
 
 CHILD = r"""
 import json, sys, time
@@ -69,6 +76,7 @@ from cqaduplicatefind_spark.plans.pipeline import run_pipeline
 from bench import make_pages, _warmup
 
 cpus, sf_dir, replicate = int(sys.argv[1]), sys.argv[2], int(sys.argv[3])
+heap = sys.argv[4] if len(sys.argv) > 4 else "6g"
 # the JOB is held constant across levels (strong scaling: same plan, same
 # shuffle width = the production default 32); only the core count varies. A
 # per-level-tuned width would compare different physical plans: local[1] with
@@ -82,7 +90,7 @@ spark = build_session(
     shuffle_partitions=32,
     extra={
         "spark.ui.enabled": "false",
-        "spark.driver.memory": "6g",
+        "spark.driver.memory": heap,
         "spark.sql.adaptive.enabled": "false",
         # this JVM is SIGSTOPped between its own timed runs (parent protocol:
         # one live Spark process at a time). Spark's internal RPC timeouts are
@@ -234,7 +242,8 @@ def main():
         for cpus in levels:
             p = subprocess.Popen(
                 ["taskset", "-c", f"0-{cpus - 1}",
-                 sys.executable, "-c", CHILD, str(cpus), sf_dir, str(REPLICATE)],
+                 sys.executable, "-c", CHILD, str(cpus), sf_dir, str(REPLICATE),
+                 HEAP],
                 cwd=repo, stdin=subprocess.PIPE, stdout=subprocess.PIPE,
                 text=True, bufsize=1, start_new_session=True,
             )
@@ -254,7 +263,15 @@ def main():
         # mean of the two 4-legs measures the 4-core wall at the effective
         # host speed of the 1-leg's midpoint. The spin-rate normalization
         # stays on top as the measured (not assumed) second line of defense.
-        order = [4, 1, 4, 16] if levels == [1, 4, 16] else list(levels)
+        if levels == [1, 4, 16]:
+            order = [4, 1, 4, 16]
+        elif levels == [1, 4]:
+            # two-level run (e.g. 2.4M docs, where 16 ways sharing ONE
+            # local-mode 6g heap OOM — a real 16-executor cluster brings 16
+            # heaps): same A-B-A sandwich, just without the 16-leg
+            order = [4, 1, 4]
+        else:
+            order = list(levels)
         trials: list[dict] = []
         for t in range(N_TRIALS):
             trial: dict = {"runs": {}, "spin_rate": {}}
@@ -350,6 +367,8 @@ def main():
     ]
     summary["host_spin_rates"] = [t["spin_rate"] for t in trials]
     summary["sf_dir"] = sf_dir
+    summary["heap"] = HEAP
+    summary["replicate"] = REPLICATE
     summary["protocol"] = (
         "persistent pinned child per level (taskset, fresh JVM, 6g heap, AQE "
         "off at bench scale, untimed warmup run), idle levels' process groups "
