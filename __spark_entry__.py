@@ -410,7 +410,11 @@ def q_ngram_jaccard(spark, sf):
     from cqaduplicatefind_spark.operators.ngram import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
-        _read(spark, sf, "documents"), n=3, min_jaccard=0.5, df_cap=1000
+        _read(spark, sf, "documents"),
+        n=3,
+        min_jaccard=0.5,
+        df_cap=1000,
+        persisted=_fresh_handles("ngram_jac"),
     )
 
 
@@ -468,6 +472,7 @@ def q_ngram_containment(spark, sf):
         min_containment=0.9,
         min_grams=20,
         df_cap=1000,
+        persisted=_fresh_handles("ngram_cont"),
     )
 
 
@@ -1643,7 +1648,10 @@ def q_qa_dumps_end_to_end(spark, sf):
     src = docs.select(F.col("doc_id").cast("string").alias("qid"), "source")
     # uncapped (df_cap=None): the default 1000-doc gram cap would need a cap
     # mirror in the DuckDB oracle; uncapped semantics keep the oracle exact
-    jac = ngram_jaccard_pairs(docs, 3, min_jaccard=0.95, df_cap=None).select(
+    jac = ngram_jaccard_pairs(
+        docs, 3, min_jaccard=0.95, df_cap=None,
+        persisted=_fresh_handles("ngram_qa_gold"),
+    ).select(
         F.col("id_a").cast("string").alias("id_a"),
         F.col("id_b").cast("string").alias("id_b"),
     )
@@ -1769,7 +1777,10 @@ def q_pipeline_pairs(spark, sf):
     result = run_pipeline(spark, pages, _edge_oracle_config())
     _fresh_handles("pipe_cand_recall").extend(result.persisted)
     true_pairs = (
-        ngram_jaccard_pairs(docs, 3, min_jaccard=0.7, df_cap=None)
+        ngram_jaccard_pairs(
+            docs, 3, min_jaccard=0.7, df_cap=None,
+            persisted=_fresh_handles("ngram_cand_recall"),
+        )
         .select(
             F.col("id_a").cast("string").alias("sa"),
             F.col("id_b").cast("string").alias("sb"),

@@ -224,3 +224,38 @@ def test_multimodal_rows_are_narrow_maps(spark, queries):
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert plan.count("HashAggregate") == 2, name  # partial + final
         assert plan.count("Exchange") == 1, name  # only the agg shuffle
+
+
+def test_ngram_kernel_hashes_grams_before_exchange(spark):
+    """Gram text must never ride a shuffle in the n-gram pair kernel (round-5
+    fix): every hash-partitioned exchange keys on the 8-byte xxhash64 gram
+    column ``gh`` or on doc ids — never a string gram or the token array —
+    the DF-cap count is a map-side-combined aggregate (partial_count), and no
+    window operator appears (the old cap was Window.partitionBy(gram-text),
+    one unsorted full-row exchange)."""
+    import re
+
+    from cqaduplicatefind_spark.operators.ngram import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon " * 2 + f"tail{i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    handles: list = []
+    df = ngram_jaccard_pairs(docs, 3, min_jaccard=0.1, df_cap=50, persisted=handles)
+    try:
+        plan = plan_of(df, "simple")
+        assert "partial_count" in plan.lower() or "partial" in plan, plan
+        assert "Window" not in plan, plan
+        # the capped gram frame is cached once for its three consumers
+        assert "InMemoryTableScan" in plan, plan
+        exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+        assert exchanges, plan
+        for args in exchanges:
+            # a string gram column would surface as `g#NN`; `gh#NN` is the hash
+            assert not re.search(r"(?<![a-zA-Z_])g#\d", args), plan
+            assert "text#" not in args, plan
+            assert not re.search(r"(?<![a-zA-Z_])t#\d", args), plan
+    finally:
+        for h in handles:
+            h.unpersist()

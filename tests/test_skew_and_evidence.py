@@ -215,8 +215,10 @@ def test_hot_gram_capped_in_ngram_jaccard(spark):
     rows = [(i, f"hot gram here tail{i}a tail{i}b tail{i}c") for i in range(m)]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     grams = doc_ngrams(docs, 3, df_cap=50)
-    # the hot gram is dropped; per-doc unique grams survive
-    assert grams.where(F.col("g") == "hot gram here").count() == 0
+    # the hot gram is dropped (grams ride as xxhash64 — compare on the hash);
+    # per-doc unique grams survive
+    hot = F.xxhash64(F.lit("hot gram here"))
+    assert grams.where(F.col("gh") == hot).count() == 0
     assert grams.count() > 0
     pairs = ngram_jaccard_pairs(docs, 3, min_jaccard=0.1, df_cap=50)
     assert pairs.count() == 0  # no remaining shared grams -> no quadratic group
