@@ -3516,8 +3516,11 @@ def q_multimodal_phash_groups(spark, sf):
     Same pattern -> same bytes -> same decode -> same 64-bit phash, so the
     groupBy on phash must reproduce exactly the ``doc_id % 37`` partition — the
     DuckDB oracle recomputes (min id, count) per class without ever touching
-    the codec. A decode bug (wrong Huffman path, IDCT drift across batches,
-    non-determinism) splits or merges groups and hash-mismatches. Both codec
+    the codec. What the oracle pins is determinism and class-separability of
+    the codec+hash path (a nondeterministic or class-splitting/merging decode
+    hash-mismatches; a globally uniform decode shift would not — pixel-level
+    fidelity is pinned by the codec round-trip and fuzz unit tests,
+    ``tests/test_jpegcodec.py`` / ``tests/test_codec_fuzz.py``). Both codec
     legs run Arrow-batched on executors (``mapInPandas``) — the 100-TB shape:
     payload bytes never leave the worker, only the 8-byte phash shuffles."""
 
@@ -3579,7 +3582,9 @@ def q_multimodal_audio_dedup(spark, sf):
     samples with the log-band-energy SimHash (``audio.audio_simhash``).
     Same class -> identical samples -> identical 64-bit fingerprint; the
     DuckDB oracle recomputes the ``doc_id % 29`` partition codec-free, so any
-    decode/framing/FFT nondeterminism hash-mismatches. Arrow-batched
+    decode/framing/FFT nondeterminism or class-splitting/merging defect
+    hash-mismatches (determinism + class-separability — sample-level fidelity
+    is pinned by the WAV round-trip and fuzz unit tests). Arrow-batched
     ``mapInPandas``; only the 8-byte fingerprint shuffles."""
 
     def synth_and_fp(it):
@@ -3624,36 +3629,111 @@ def q_multimodal_audio_dedup(spark, sf):
     ).select("canonical_id", "n_members")
 
 
+@_register(
+    "multimodal_video_dedup",
+    """
+    SELECT CAST(min(doc_id) AS BIGINT) AS canonical_id,
+           CAST(count(*) AS BIGINT) AS n_members
+    FROM documents GROUP BY doc_id % 31
+    """,
+)
+def q_multimodal_video_dedup(spark, sf):
+    """VIDEO clip-fingerprint dedup groups with the real MJPEG-in-AVI
+    container codec on executors (the round-5 row closing the last codec
+    surface outside the driver's blast radius): every document maps to a
+    deterministic 5-frame 32x32 clip keyed by ``doc_id % 31`` (the class code
+    written in binary as white 4x4 blocks — the phash row's construction, one
+    aHash grid cell per block), encoded as a full MJPEG AVI
+    (``videocodec.encode_avi_mjpeg``: RIFF/avih/strh/strf/movi/idx1 + one
+    baseline JPEG per frame) and fingerprinted by ``videocodec.video_simhash``
+    — container index (``mjpeg_frame_index``), evenly-spaced frame sampling
+    (``sample_frame_payloads`` slices ONLY the selected '00dc' chunks, never
+    whole-clip decode), per-frame ``decode_jpeg`` + ``ahash64``, per-bit
+    majority vote. Same class -> identical clip bytes -> identical 64-bit
+    fingerprint; all 31 codes measured distinct. The DuckDB oracle recomputes
+    the ``doc_id % 31`` partition codec-free, pinning determinism and
+    class-separability of the container+codec+hash path (frame/pixel fidelity
+    is pinned by the AVI round-trip and fuzz unit tests). The per-class
+    payload+fingerprint is memoized per batch iterator — the codec still runs
+    for every class on every executor partition, but the row's cost stays
+    O(classes), not O(docs), which is also why clip synthesis belongs in the
+    Arrow batch, not the driver. Only the 8-byte fingerprint shuffles."""
+
+    def synth_and_fp(it):
+        import numpy as np
+        import pandas as pd
+
+        from cqaduplicatefind_spark.functions.videocodec import (
+            encode_avi_mjpeg,
+            video_simhash,
+        )
+
+        fp_cache: dict[int, int] = {}
+
+        def class_fp(cls: int) -> int:
+            fp = fp_cache.get(cls)
+            if fp is None:
+                img = np.zeros((32, 32), dtype=np.uint8)
+                code = cls + 1  # 1..31: at least one white block
+                for c in range(5):
+                    if (code >> c) & 1:
+                        r, col = divmod(c, 8)
+                        img[4 * r : 4 * (r + 1), 4 * col : 4 * (col + 1)] = 255
+                payload = encode_avi_mjpeg([img] * 5, fps=5, quality=90)
+                fp = video_simhash(payload, n_frames=4)
+                fp_cache[cls] = fp
+            return fp
+
+        for pdf in it:
+            ids = [int(d) for d in pdf["doc_id"]]
+            fps_ = [class_fp(d % 31) for d in ids]
+            yield pd.DataFrame(
+                {"doc_id": pd.Series(ids, dtype="int64"),
+                 "fp": pd.Series(fps_, dtype="int64")}
+            )
+
+    docs = _read(spark, sf, "documents").select("doc_id")
+    fps = docs.mapInPandas(synth_and_fp, "doc_id long, fp long")
+    return fps.groupBy("fp").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count("*").alias("n_members"),
+    ).select("canonical_id", "n_members")
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
 
 # The driver's correctness gate checks the FIRST 50 entries of queries() in
-# dict order.  Rows with a long multi-round green history (TPC-H-style basics,
-# driver-verified identically in rounds 1-3) are rotated to the tail so the
-# gate's budget covers the rows that have NOT yet appeared in an official
-# CORRECTNESS artifact (the round-3 registry tail: PII, line tiers, C4,
-# repetition, contamination, corpus stats, sharding, the end-to-end
-# composites) plus everything new this round.
+# dict order.  Rotation policy (every-other-round, encoded in
+# tests/test_registry_gate.py): a row may sit past the gate ONLY if it was
+# driver-checked green in the MOST RECENT official CORRECTNESS artifact, so
+# after each round every registry row has an official green entry at most two
+# rounds old.  Round-5 rotation: the 18 round-4 tail rows (TPC-H-style basics,
+# last checked r1-r3 + projection_pushdown r4) all return to the head, along
+# with every row whose code changed this round (the hashed n-gram kernel and
+# its consumers) and the new video codec row; the tail below is drawn
+# exclusively from rows green in BOTH the r3 and r4 artifacts.
 _STABLE_TAIL = [
-    "projection_pushdown",
-    "filter_predicate",
-    "semi_join_filter",
-    "anti_join_gold_check",
-    "broadcast_dim_join",
-    "multiway_join_agg",
-    "cross_join_tiny",
-    "groupby_agg_tpch_q1",
-    "groupby_count_histogram",
-    "distinct_union",
-    "accuracy_metric",
-    "window_topk_per_group",
-    "global_topn",
-    "time_window_agg",
-    "latest_event_per_user",
-    "embedding_norms",
-    "token_count_stats",
-    "doc_fingerprint",
+    "exact_dedup_hash_groups",
+    "simhash_hamming_pairs",
+    "quality_score",
+    "lang_id_histogram",
+    "bm25_topk_retrieval",
+    "bm25_retrieval_eval",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "embedding_neardup_pairs",
+    "semantic_dedup_kept",
+    "unigram_logprob_quality",
+    "overlap_token_spans",
+    "exact_span_pairs",
+    "exact_substring_removal",
+    "dedup_canonical_docs",
+    "grouped_cluster_assignments",
+    "streaming_first_seen_docs",
+    "latest_capture_per_url",
+    "url_canonicalize",
 ]
 
 

@@ -256,6 +256,98 @@ def bench_pipeline(spark, sf_dir: str) -> dict[str, float]:
     return times
 
 
+def bench_incremental(spark, sf_dir: str) -> dict[str, float]:
+    """Timed coverage for the two incremental paths (round-5 addition: both had
+    oracle rows but no bench leg, so a regression in the touched-bucket kernel
+    or store compaction was invisible to BENCH):
+
+    - ``delta_dedup``: seed the band/signature store from 3/4 of the corpus
+      (untimed — a standing index in production), then time ONE increment (the
+      remaining 1/4) deduped against it: the per-increment-bounded match
+      kernel, accept arms, and store append.
+    - ``streaming_incremental``: time the full 4-micro-batch drive of
+      ``IncrementalDedup`` over precomputed signatures (compact_every=3 puts a
+      store compaction inside the timed window), plus the final match count.
+
+    Min-of-3 with the two legs INTERLEAVED per pass (same slot-bias treatment
+    as the pipeline flavors) and per-run lists in the artifact. Fresh work dir
+    per run — the store paths are stateful, so re-running against a used store
+    would grow it and time a different job."""
+    import shutil
+    import tempfile
+
+    from cqaduplicatefind_spark.functions.signatures import with_signatures
+    from cqaduplicatefind_spark.plans.delta import delta_dedup, seed_index
+    from cqaduplicatefind_spark.streaming.incremental import (
+        SIG_COLS,
+        IncrementalDedup,
+    )
+
+    cfg = DedupConfig(shingle_k=3, jaccard_threshold=0.7)
+    # replicate=5 (not the pipeline's 20): a mid-size corpus keeps these legs'
+    # wall-clock inside the bench budget while still putting thousands of docs
+    # through the store kernels
+    pages = make_pages(spark, sf_dir, replicate=5).cache()
+    pages.count()
+    is_inc = F.pmod(F.xxhash64("url"), F.lit(4)) == 0
+    corpus = pages.where(~is_inc)
+    increment = pages.where(is_inc)
+    sigs = (
+        with_signatures(pages.withColumn("norm_text", F.col("text")), cfg,
+                        "norm_text")
+        .select(*SIG_COLS)
+        .withColumn("_b", F.pmod(F.xxhash64("url"), F.lit(4)))
+        .cache()
+    )
+    sigs.count()
+
+    runs: dict[str, list[float]] = {"delta_dedup": [], "streaming_incremental": []}
+    for _ in range(3):
+        work = tempfile.mkdtemp(prefix="bench_delta_")
+        try:
+            seed_index(spark, corpus, cfg, work)  # untimed: standing index
+
+            def _delta():
+                res = delta_dedup(spark, increment, cfg, work, batch_id=1)
+                n = res.edges.count()
+                res.release()
+                return n
+
+            t, _n = _cooled(_delta)
+            runs["delta_dedup"].append(t)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+        work = tempfile.mkdtemp(prefix="bench_stream_")
+        try:
+
+            def _stream():
+                dedup = IncrementalDedup(
+                    spark,
+                    cfg,
+                    os.path.join(work, "bands"),
+                    os.path.join(work, "sigs"),
+                    os.path.join(work, "matches"),
+                    compact_every=3,
+                )
+                for b in range(4):
+                    dedup.process_batch(
+                        sigs.where(F.col("_b") == b).select(*SIG_COLS), b
+                    )
+                return dedup.matches().count()
+
+            t, _n = _cooled(_stream)
+            runs["streaming_incremental"].append(t)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    pages.unpersist()
+    sigs.unpersist()
+    out: dict[str, float] = {name: min(rs) for name, rs in runs.items()}
+    out["_runs"] = {name: [round(x, 2) for x in rs] for name, rs in runs.items()}
+    return out
+
+
 def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as entry_mod
 
@@ -341,12 +433,23 @@ def main():
     queries: dict[str, float] = {}
     singles = bench_queries(spark, sf_dir)
     query_runs = singles.pop("_runs", {})
+    # release every singleton's persisted frames/broadcasts (the _fresh_handles
+    # registry keeps each query's LAST invocation pinned in executor storage)
+    # so the pipeline legs time against a clean storage state — with singletons
+    # first, the old order's implicit cleanup no longer happens
+    import __spark_entry__ as entry_mod
+
+    for key in list(entry_mod._HANDLE_REGISTRY):
+        entry_mod._fresh_handles(key)
     pipe = bench_pipeline(spark, sf_dir)
     n_docs = int(pipe.pop("_n_docs"))
     pipeline_runs = pipe.pop("_runs", {})
     span_overhead = pipe.pop("_span_overhead", {})
+    inc = bench_incremental(spark, sf_dir)
+    incremental_runs = inc.pop("_runs", {})
     queries.update({k: round(v, 3) for k, v in pipe.items()})
     queries.update({k: round(v, 3) for k, v in singles.items()})
+    queries.update({k: round(v, 3) for k, v in inc.items()})
 
     total = round(sum(queries.values()), 3)
     docs_per_sec = round(n_docs / pipe["full_pipeline"], 1)
@@ -369,6 +472,8 @@ def main():
                 # throttled sample shows up as an outlier next to two warm
                 # ones instead of silently inflating the min
                 "query_runs": query_runs,
+                # per-run lists for the delta/streaming incremental legs
+                "incremental_runs": incremental_runs,
                 # drift-cancelled span-pass cost (see bench_pipeline): the
                 # honest flavor comparison, robust where min(span)-min(nospan)
                 # is not

@@ -33,7 +33,18 @@ def read_question_dumps(spark: SparkSession, path: str) -> DataFrame:
     stem (e.g. ``.../android.json`` -> 'android'), mirroring the reference's
     per-forum loop (src/JsonToCsvConverter.py:164-166). Questions with no
     ``dups`` field get an empty array (truthiness gate at ``:149`` maps to
-    ``size(dups) > 0``)."""
+    ``size(dups) > 0``).
+
+    Error contract (changed in round 4, when the eager double-parse pre-check
+    became the lazy in-plan guard below): a malformed dump no longer raises
+    ``ValueError`` at ``read()`` listing every bad file — it surfaces as a
+    Spark runtime error (``PySparkRuntimeError`` wrapping the in-plan
+    ``raise_error``) at the FIRST action, naming the first bad file the
+    executors hit. Callers that need the old read-time, all-files behavior
+    should force an action (e.g. ``.limit(1).collect()``) in their own
+    try/except; the repo's ValueError-only convention applies to driver-side
+    validation (configs, codecs), not to distributed plan execution, where
+    Spark's native error channel is the contract."""
     raw = spark.read.text(path, wholetext=True).select(
         F.input_file_name().alias("_file"), F.col("value")
     )

@@ -217,7 +217,11 @@ def test_multimodal_rows_are_narrow_maps(spark, queries):
     + encode + decode + hash fused in a single Python pass — payload bytes
     never leave the worker) feeding a map-side-combined hash aggregate; only
     the 8-byte hash may ride the exchange, and no cartesian/NLJ anywhere."""
-    for name in ("multimodal_phash_groups", "multimodal_audio_dedup"):
+    for name in (
+        "multimodal_phash_groups",
+        "multimodal_audio_dedup",
+        "multimodal_video_dedup",
+    ):
         plan = plan_of(queries[name](spark, SF), "simple")
         assert plan.count("MapInPandas") == 1, name
         assert "CartesianProduct" not in plan, name

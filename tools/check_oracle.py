@@ -64,6 +64,12 @@ def main():
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    # fail fast on unknown names: a typo'd subset would otherwise run zero
+    # checks and still print the pass line (harness-integrity, round-5 review)
+    unknown = only - set(qs)
+    if unknown:
+        print(f"unknown queries: {sorted(unknown)}")
+        sys.exit(2)
     failures = []
     for name, fn in qs.items():
         if only and name not in only:

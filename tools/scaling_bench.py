@@ -270,6 +270,14 @@ def main():
             # local-mode 6g heap OOM — a real 16-executor cluster brings 16
             # heaps): same A-B-A sandwich, just without the 16-leg
             order = [4, 1, 4]
+        elif levels == [4, 16]:
+            # dedicated 4->16 run (round-5: extend the 4->16 amortization
+            # curve at >=1.2M docs with a right-sized heap): bracket the long
+            # 4-core leg with the short 16-core leg on both sides — the
+            # efficiency already averages all of a level's runs in the trial,
+            # so the two 16-legs cancel monotone drift exactly like the
+            # 4-legs do for 1->4
+            order = [16, 4, 16]
         else:
             order = list(levels)
         trials: list[dict] = []
@@ -370,7 +378,8 @@ def main():
     summary["heap"] = HEAP
     summary["replicate"] = REPLICATE
     summary["protocol"] = (
-        "persistent pinned child per level (taskset, fresh JVM, 6g heap, AQE "
+        f"persistent pinned child per level (taskset, fresh JVM, {HEAP} heap, "
+        f"replicate={REPLICATE}, AQE "
         "off at bench scale, untimed warmup run), idle levels' process groups "
         "SIGSTOPped so each timed run is the only live Spark process (idle "
         "JVMs' GC threads share overlapping core pins otherwise), levels "
