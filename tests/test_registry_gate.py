@@ -55,12 +55,15 @@ MUST_GATE = [
 ]
 
 
-def _latest_artifact() -> dict:
+def _recent_artifacts(k: int = 2) -> list[dict]:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     paths = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
     assert paths, "no official CORRECTNESS artifact found"
-    with open(paths[-1]) as f:
-        return json.load(f)
+    out = []
+    for p in paths[-k:]:
+        with open(p) as f:
+            out.append(json.load(f))
+    return out
 
 
 def test_must_gate_rows_inside_driver_window():
@@ -70,19 +73,28 @@ def test_must_gate_rows_inside_driver_window():
     assert not missing, f"rows outside the driver's {GATE}-row gate: {missing}"
 
 
-def test_tail_rows_checked_last_round():
+def test_tail_rows_recently_checked():
     """Every-other-round policy: a row past the gate must have a GREEN entry in
-    the most recent official artifact (it was inside the previous round's
-    window and passed all three checks) — a tail row can therefore never go
-    more than one round without official driver verification."""
-    art = _latest_artifact()
+    one of the TWO most recent official artifacts. (Not "the latest": a round-N
+    tail row is deliberately outside round N's own window, so the moment
+    CORRECTNESS_rN lands, the latest artifact cannot contain it — its green
+    entry is in rN-1, when it was inside. If the same row stayed in the tail a
+    second consecutive round, both recent artifacts would miss it and this
+    test forces the rotation.)"""
+    arts = _recent_artifacts(2)
     names = list(entry_mod.queries())
     for n in names[GATE:]:
-        v = art.get(n)
-        assert isinstance(v, dict), f"tail row {n} absent from latest artifact"
-        assert (
-            v.get("rows_match") and v.get("schema_match") and v.get("hash_match")
-        ), f"tail row {n} was not green in the latest artifact: {v}"
+        green = any(
+            isinstance(v := a.get(n), dict)
+            and v.get("rows_match")
+            and v.get("schema_match")
+            and v.get("hash_match")
+            for a in arts
+        )
+        assert green, (
+            f"tail row {n} has no green entry in the two most recent official "
+            f"artifacts — rotate it inside the {GATE}-row gate this round"
+        )
     # and the declared tail is what actually sits past the gate
     assert set(names[GATE:]) <= set(entry_mod._STABLE_TAIL)
 
