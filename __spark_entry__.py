@@ -1848,6 +1848,69 @@ def _edge_oracle_config() -> DedupConfig:
     )
 
 
+@_register(
+    "dedup_pipeline_full_recall",
+    f"""
+    WITH {_BRUTE_JACCARD_CTES}
+    SELECT least(id_a, id_b) AS id_a, greatest(id_a, id_b) AS id_b,
+           TRUE AS co_clustered
+    FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.7
+    """,
+)
+def q_pipeline_full_recall(spark, sf):
+    """Driver-visible recall invariant for the FULL-config pipeline (round 5,
+    closing the last evidence gap around the two rows-only rows): the
+    salted/rescue/winnow config (`_doc_config` — normalization on, 16x8
+    banding, Hamming + containment accept arms, span pass) is not
+    SQL-restatable, but one strong property of its OUTPUT is: every
+    brute-force pair with distinct-3-token-shingle Jaccard >= 0.7 must land in
+    the SAME cluster (the north rule's dup-pair recall >= 0.99, stated at the
+    full config — candidate generation misses are rescued, verify arms only
+    widen acceptance, and clustering is the transitive closure). The Spark
+    side computes the pair set itself (ngram kernel, uncapped) and emits the
+    ACTUAL co-clustering bit from the full-config assignment — a pipeline
+    regression that splits any true pair flips a value and hash-mismatches;
+    the DuckDB twin recomputes the pair set and asserts TRUE. Ids canonicalize
+    as STRINGS on both sides. Verified zero violations at sf0.001 and sf0.01;
+    seeded permutations make the run deterministic."""
+    from cqaduplicatefind_spark.operators.ngram import ngram_jaccard_pairs
+    from cqaduplicatefind_spark.plans.pipeline import run_pipeline
+
+    docs = _read(spark, sf, "documents")
+    pages = docs.select(F.col("doc_id").cast("string").alias("url"), "text")
+    result = run_pipeline(spark, pages, _doc_config())
+    _fresh_handles("pipe_full_recall").extend(result.persisted)
+    pairs = (
+        ngram_jaccard_pairs(
+            docs, 3, min_jaccard=0.7, df_cap=None,
+            persisted=_fresh_handles("ngram_full_recall"),
+        )
+        .select(
+            F.col("id_a").cast("string").alias("sa"),
+            F.col("id_b").cast("string").alias("sb"),
+        )
+        .select(
+            F.least("sa", "sb").alias("id_a"),
+            F.greatest("sa", "sb").alias("id_b"),
+        )
+    )
+    assign = result.clusters
+    return (
+        pairs.join(
+            assign.withColumnsRenamed({"url": "id_a", "cluster_id": "ca"}), "id_a"
+        )
+        .join(
+            assign.withColumnsRenamed({"url": "id_b", "cluster_id": "cb"}), "id_b"
+        )
+        .select(
+            "id_a", "id_b", (F.col("ca") == F.col("cb")).alias("co_clustered")
+        )
+    )
+
+
 @_register("dedup_pipeline_accepted_edges", _BRUTE_EDGES_SQL)
 def q_pipeline_accepted_edges(spark, sf):
     """The FLAGSHIP pipeline's accepted duplicate-edge set, hash-matched against

@@ -43,8 +43,9 @@ MUST_GATE = [
     "retrieval_metrics_p_at_k",
     "qa_dumps_end_to_end",
     "dedup_pipeline_candidate_pairs",
-    # new round-5 row
+    # new round-5 rows
     "multimodal_video_dedup",
+    "dedup_pipeline_full_recall",
     # flagship / north-rule core rows stay gated every round
     "minhash_md5_signatures",
     "dedup_pipeline_accepted_edges",
