@@ -256,7 +256,9 @@ def bench_pipeline(spark, sf_dir: str) -> dict[str, float]:
     return times
 
 
-def bench_incremental(spark, sf_dir: str) -> dict[str, float]:
+def bench_incremental(
+    spark, sf_dir: str, replicate: int = 5, n_passes: int = 3
+) -> dict[str, float]:
     """Timed coverage for the two incremental paths (round-5 addition: both had
     oracle rows but no bench leg, so a regression in the touched-bucket kernel
     or store compaction was invisible to BENCH):
@@ -286,8 +288,8 @@ def bench_incremental(spark, sf_dir: str) -> dict[str, float]:
     cfg = DedupConfig(shingle_k=3, jaccard_threshold=0.7)
     # replicate=5 (not the pipeline's 20): a mid-size corpus keeps these legs'
     # wall-clock inside the bench budget while still putting thousands of docs
-    # through the store kernels
-    pages = make_pages(spark, sf_dir, replicate=5).cache()
+    # through the store kernels; the harness-smoke test calls with replicate=1
+    pages = make_pages(spark, sf_dir, replicate=replicate).cache()
     pages.count()
     is_inc = F.pmod(F.xxhash64("url"), F.lit(4)) == 0
     corpus = pages.where(~is_inc)
@@ -302,7 +304,7 @@ def bench_incremental(spark, sf_dir: str) -> dict[str, float]:
     sigs.count()
 
     runs: dict[str, list[float]] = {"delta_dedup": [], "streaming_incremental": []}
-    for _ in range(3):
+    for _ in range(n_passes):
         work = tempfile.mkdtemp(prefix="bench_delta_")
         try:
             seed_index(spark, corpus, cfg, work)  # untimed: standing index
