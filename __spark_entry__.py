@@ -3783,13 +3783,11 @@ _STABLE_TAIL = [
     "quality_score",
     "lang_id_histogram",
     "bm25_topk_retrieval",
-    "bm25_retrieval_eval",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "embedding_neardup_pairs",
     "semantic_dedup_kept",
     "unigram_logprob_quality",
-    "overlap_token_spans",
     "exact_span_pairs",
     "exact_substring_removal",
     "dedup_canonical_docs",
@@ -3797,6 +3795,12 @@ _STABLE_TAIL = [
     "streaming_first_seen_docs",
     "latest_capture_per_url",
     "url_canonicalize",
+    # green r3+r4, code unchanged this round, and the round-5 bench gained
+    # timed coverage of the delta path; rotated out so every consumer of the
+    # rewritten n-gram kernel (bm25_retrieval_eval, overlap_token_spans —
+    # both build candidates/gold from q_ngram_jaccard) stays inside the gate
+    "delta_dedup_edges",
+    "delta_dedup_survivors",
 ]
 
 

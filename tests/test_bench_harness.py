@@ -16,9 +16,22 @@ import tempfile
 import bench
 
 
+def _persistent_rdd_ids(spark) -> set[int]:
+    jmap = spark.sparkContext._jsc.sc().getPersistentRDDs()
+    it = jmap.keysIterator()
+    ids = set()
+    while it.hasNext():
+        ids.add(it.next())
+    return ids
+
+
 def test_bench_incremental_smoke(spark, monkeypatch):
     monkeypatch.setattr(bench, "COOLDOWN_SEC", 0)
-    before = set(glob.glob(tempfile.gettempdir() + "/bench_*"))
+    before_dirs = set(glob.glob(tempfile.gettempdir() + "/bench_*"))
+    # compare persistent-RDD IDs before vs after — NOT "storage is empty":
+    # the shared session-scoped fixtures legitimately keep caches alive, so
+    # an absolute-empty assert is order-dependent across the suite
+    before_rdds = _persistent_rdd_ids(spark)
     out = bench.bench_incremental(
         spark, "/root/testdata/sf0.001", replicate=1, n_passes=1
     )
@@ -30,8 +43,25 @@ def test_bench_incremental_smoke(spark, monkeypatch):
         assert min(runs[name]) > 0, name
     # work dirs removed (fresh store per run — rerunning a used store would
     # grow it and time a different job)
-    after = set(glob.glob(tempfile.gettempdir() + "/bench_*"))
-    assert after == before
-    # no cached frames leaked into executor storage
-    jsc = spark.sparkContext._jsc.sc()
-    assert jsc.getPersistentRDDs().isEmpty()
+    after_dirs = set(glob.glob(tempfile.gettempdir() + "/bench_*"))
+    assert after_dirs == before_dirs
+    # no NEW cached frames leaked into executor storage
+    leaked = _persistent_rdd_ids(spark) - before_rdds
+    assert not leaked, f"bench_incremental leaked cached RDDs: {leaked}"
+
+
+def test_scaling_aba_order():
+    """The scaling bench's per-trial order must bracket the slowest level with
+    the next level up on both sides for ANY level set (the old ladder silently
+    skipped bracketing for unlisted combinations)."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from scaling_bench import _aba_order
+
+    assert _aba_order([1, 4, 16]) == [4, 1, 4, 16]
+    assert _aba_order([1, 4]) == [4, 1, 4]
+    assert _aba_order([4, 16]) == [16, 4, 16]
+    assert _aba_order([1, 16]) == [16, 1, 16]   # previously unbracketed
+    assert _aba_order([2, 8, 32]) == [8, 2, 8, 32]
+    assert _aba_order([4]) == [4]

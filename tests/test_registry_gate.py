@@ -37,10 +37,15 @@ MUST_GATE = [
     "embedding_norms",
     "token_count_stats",
     "doc_fingerprint",
-    # code changed in round 5 (hashed n-gram kernel + its consumers)
+    # code changed in round 5 (hashed n-gram kernel + ALL its consumers —
+    # bm25_retrieval_eval{,_directed} and overlap_token_spans build their
+    # candidate/gold sets from q_ngram_jaccard too)
     "ngram_jaccard_pairs",
     "ngram_containment_pairs",
     "retrieval_metrics_p_at_k",
+    "bm25_retrieval_eval",
+    "bm25_retrieval_eval_directed",
+    "overlap_token_spans",
     "qa_dumps_end_to_end",
     "dedup_pipeline_candidate_pairs",
     # new round-5 rows
@@ -51,8 +56,6 @@ MUST_GATE = [
     "dedup_pipeline_accepted_edges",
     "dedup_pipeline_cluster_assignments",
     "streaming_incremental_edges",
-    "delta_dedup_edges",
-    "delta_dedup_survivors",
 ]
 
 

@@ -56,20 +56,22 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    # fail fast on unknown names BEFORE paying Spark session startup: a
+    # typo'd subset would otherwise run zero checks and still print the pass
+    # line (harness-integrity, round-5 review)
+    unknown = only - set(qs)
+    if unknown:
+        print(f"unknown queries: {sorted(unknown)}")
+        sys.exit(2)
+
     spark = build_session(master="local[8]", shuffle_partitions=16,
                           extra={"spark.ui.enabled": "false"})
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    qs = entry_mod.queries()
-    oracles = entry_mod.oracle_sql()
-    # fail fast on unknown names: a typo'd subset would otherwise run zero
-    # checks and still print the pass line (harness-integrity, round-5 review)
-    unknown = only - set(qs)
-    if unknown:
-        print(f"unknown queries: {sorted(unknown)}")
-        sys.exit(2)
     failures = []
     for name, fn in qs.items():
         if only and name not in only:

@@ -176,6 +176,20 @@ def _await(proc: subprocess.Popen, prefix: str) -> dict:
             return json.loads(line[len(prefix) + 1:])
 
 
+def _aba_order(levels: list[int]) -> list[int]:
+    """Per-trial run order with A-B-A drift bracketing (round-5 review: was a
+    per-level-list ladder that silently fell through to NO bracketing for new
+    combinations). The SLOWEST level (fewest cores -> longest wall) is the
+    long leg of every N->4N ratio it appears in, so run the next level up
+    both BEFORE and AFTER it; the efficiency already averages all of a
+    level's runs within the trial, so the two short legs cancel monotone host
+    drift to first order. Remaining levels follow in ascending order.
+    Derives the historical orders exactly: [1,4,16] -> [4,1,4,16];
+    [1,4] -> [4,1,4]; [4,16] -> [16,4,16]."""
+    lv = sorted(levels)
+    return [lv[1], lv[0], lv[1]] + lv[2:] if len(lv) >= 2 else lv
+
+
 def _spin_rate(duration: float = 1.0) -> float:
     """Pinned single-core spin rate — instantaneous host-speed probe (the parent
     is pinned to the last core, away from every child's 0..N-1 pin)."""
@@ -263,23 +277,7 @@ def main():
         # mean of the two 4-legs measures the 4-core wall at the effective
         # host speed of the 1-leg's midpoint. The spin-rate normalization
         # stays on top as the measured (not assumed) second line of defense.
-        if levels == [1, 4, 16]:
-            order = [4, 1, 4, 16]
-        elif levels == [1, 4]:
-            # two-level run (e.g. 2.4M docs, where 16 ways sharing ONE
-            # local-mode 6g heap OOM — a real 16-executor cluster brings 16
-            # heaps): same A-B-A sandwich, just without the 16-leg
-            order = [4, 1, 4]
-        elif levels == [4, 16]:
-            # dedicated 4->16 run (round-5: extend the 4->16 amortization
-            # curve at >=1.2M docs with a right-sized heap): bracket the long
-            # 4-core leg with the short 16-core leg on both sides — the
-            # efficiency already averages all of a level's runs in the trial,
-            # so the two 16-legs cancel monotone drift exactly like the
-            # 4-legs do for 1->4
-            order = [16, 4, 16]
-        else:
-            order = list(levels)
+        order = _aba_order(levels)
         trials: list[dict] = []
         for t in range(N_TRIALS):
             trial: dict = {"runs": {}, "spin_rate": {}}
