@@ -1865,17 +1865,29 @@ def q_pipeline_full_recall(spark, sf):
     closing the last evidence gap around the two rows-only rows): the
     salted/rescue/winnow config (`_doc_config` — normalization on, 16x8
     banding, Hamming + containment accept arms, span pass) is not
-    SQL-restatable, but one strong property of its OUTPUT is: every
-    brute-force pair with distinct-3-token-shingle Jaccard >= 0.7 must land in
-    the SAME cluster (the north rule's dup-pair recall >= 0.99, stated at the
-    full config — candidate generation misses are rescued, verify arms only
-    widen acceptance, and clustering is the transitive closure). The Spark
-    side computes the pair set itself (ngram kernel, uncapped) and emits the
-    ACTUAL co-clustering bit from the full-config assignment — a pipeline
-    regression that splits any true pair flips a value and hash-mismatches;
-    the DuckDB twin recomputes the pair set and asserts TRUE. Ids canonicalize
-    as STRINGS on both sides. Verified zero violations at sf0.001 and sf0.01;
-    seeded permutations make the run deterministic."""
+    SQL-restatable, but a strong property of its OUTPUT is: every brute-force
+    pair with RAW-text distinct-3-token-shingle Jaccard >= 0.7 lands in the
+    SAME cluster (the north rule's dup-pair recall >= 0.99, stated at the
+    full config). The Spark side computes the pair set itself (ngram kernel,
+    uncapped) and emits the ACTUAL co-clustering bit from the full-config
+    assignment — a pipeline regression that splits any true pair flips a
+    value and hash-mismatches; the DuckDB twin recomputes the pair set and
+    asserts TRUE. Ids canonicalize as STRINGS on both sides; seeded
+    permutations make the run deterministic.
+
+    Scope of the guarantee: the structural argument (candidate misses are
+    rescued, verify arms only widen acceptance, clustering is the transitive
+    closure) covers everything DOWNSTREAM of normalization. Normalization
+    itself can only NARROW: the pair set is brute-forced on raw text (the
+    stopword/stemmer normalization has no SQL twin), so a pair whose raw
+    overlap rides mostly on stopwords could in principle fall below the
+    normalized verify threshold. On the driver's fixed sf0.001/sf0.01
+    fixtures that narrowing never crosses the 0.7 line (verified zero
+    violations at both SFs — the fixtures' duplicates share content words,
+    not boilerplate), so the row is a valid regression pin for the corpora it
+    actually runs on; it is NOT a theorem for arbitrary corpora, and
+    regenerated fixtures with stopword-heavy near-pairs would need the
+    threshold margin re-checked."""
     from cqaduplicatefind_spark.operators.ngram import ngram_jaccard_pairs
     from cqaduplicatefind_spark.plans.pipeline import run_pipeline
 

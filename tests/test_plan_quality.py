@@ -249,7 +249,15 @@ def test_ngram_kernel_hashes_grams_before_exchange(spark):
     df = ngram_jaccard_pairs(docs, 3, min_jaccard=0.1, df_cap=50, persisted=handles)
     try:
         plan = plan_of(df, "simple")
-        assert "partial_count" in plan.lower() or "partial" in plan, plan
+        # pin the DF-cap aggregate's shape specifically: a HashAggregate keyed
+        # on the 8-byte gram hash alone with a map-side partial_count (the
+        # generic `"partial" in plan` form was vacuous — the pair-count agg
+        # contributes a partial_count to EVERY plan, so a rewrite of the cap
+        # into a non-combinable form could not fail it)
+        assert re.search(
+            r"HashAggregate\(keys=\[gh#\d+L?\], functions=\[partial_count\(1\)\]",
+            plan,
+        ), plan
         assert "Window" not in plan, plan
         # the capped gram frame is cached once for its three consumers
         assert "InMemoryTableScan" in plan, plan
