@@ -58,7 +58,10 @@ def test_agg_has_mapside_partial(spark, queries):
     # map-side combine means the shuffle carries one row per group per task,
     # not one per input row
     assert plan.count("HashAggregate") >= 2
-    assert "partial_sum" in plan or "partial" in plan
+    # partial_sum specifically: this query has exactly one aggregate, so the
+    # generic `"partial" in plan` fallback could only ever match this same
+    # node — require the precise map-side form instead
+    assert "partial_sum" in plan
 
 
 def test_signature_stage_is_shuffle_free(spark, cfg):
