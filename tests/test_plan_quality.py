@@ -77,8 +77,11 @@ def test_signature_stage_is_shuffle_free(spark, cfg):
     sigs = signature_stage(normalize_stage(pages, cfg), cfg)
     plan = plan_of(sigs, "simple")
     assert plan.count("Exchange") <= 1, plan
-    # signatures are computed by one Arrow-batched python stage, not per-row UDFs
-    assert "ArrowEvalPython" in plan or "MapInPandas" in plan or "EvalPython" in plan
+    # signatures are computed by one Arrow-batched python stage, not per-row
+    # UDFs. (The old third disjunct `"EvalPython" in plan` also matched
+    # BatchEvalPython — the exact per-row operator this test exists to ban.)
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
 
 
 def test_candidate_stage_shuffle_budget(spark, cfg):
