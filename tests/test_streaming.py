@@ -386,3 +386,97 @@ def test_restart_replay_after_compaction_keeps_stat_exact(spark, tmp_path):
     assert d2.batch_stats[0]["n_index_band_rows"] == 3 * 2 * cfg.bands
     d2.process_batch(sigs_for(4), 4)          # and keep going
     assert d2.batch_stats[1]["n_index_band_rows"] == 4 * 2 * cfg.bands
+
+
+def test_merge_crash_windows_leave_readable_store(spark, tmp_path, monkeypatch):
+    """White-box crash injection into ``_merge``'s rename-rename protocol —
+    the two windows its docstring claims are safe but no black-box replay can
+    reach deterministically: (c) after ``tmp -> final`` lands but BEFORE the
+    sources/.old cleanup (store holds final + sources, physically duplicated),
+    then on the recovery replay (b) after ``final -> .old`` but BEFORE
+    ``tmp -> final`` (store holds sources + .old, no final). After each crash
+    the match set must read back exactly right, and a clean replay must
+    self-heal: the stale ``.old`` is swept, tiers re-merge, and a further
+    batch sees a consistent index."""
+    import shutil
+
+    import pytest
+
+    from cqaduplicatefind_spark.functions.signatures import with_signatures
+    from cqaduplicatefind_spark.streaming.incremental import (
+        SIG_COLS,
+        IncrementalDedup,
+    )
+
+    cfg = DedupConfig(shingle_k=3, jaccard_threshold=0.7, shuffle_partitions=4)
+    dedup = IncrementalDedup(
+        spark, cfg,
+        str(tmp_path / "bands"), str(tmp_path / "sigs"),
+        str(tmp_path / "matches"), compact_every=2,
+    )
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+
+    def sigs_for(i):
+        rows = [
+            (f"fam{i}", base + f"tail{i}"),
+            (f"noise{i}", f"unrelated {i} x{i} y{i} z{i} qq{i} " * 10),
+        ]
+        df = spark.createDataFrame(rows, "url string, text string")
+        return with_signatures(
+            df.withColumn("norm_text", F.col("text")), cfg, "norm_text"
+        ).select(*SIG_COLS)
+
+    def pairs_upto(k):
+        return {
+            (f"fam{i}", f"fam{j}")
+            for i in range(k + 1) for j in range(k + 1) if i < j
+        }
+
+    for i in range(5):
+        dedup.process_batch(sigs_for(i), i)
+
+    # ---- window (c): crash after tmp->final, before cleanup --------------
+    # batch 5 folds batch=4,5 into compacted=5; the armed rmtree kills the
+    # merge at its FIRST cleanup deletion under this store
+    real_rmtree, armed = shutil.rmtree, {"on": True}
+
+    def exploding_rmtree(path, *a, **kw):
+        if armed["on"] and str(path).startswith(str(tmp_path)):
+            armed["on"] = False
+            raise OSError("injected crash: cleanup")
+        return real_rmtree(path, *a, **kw)
+
+    monkeypatch.setattr(shutil, "rmtree", exploding_rmtree)
+    with pytest.raises(OSError, match="injected crash"):
+        dedup.process_batch(sigs_for(5), 5)
+    # final landed AND sources remain: rows duplicated, none lost
+    bands_root = tmp_path / "bands"
+    assert (bands_root / "compacted=5").exists()
+    assert (bands_root / "batch=5").exists()
+    assert {(r.id_a, r.id_b) for r in dedup.matches().collect()} == pairs_upto(5)
+
+    # ---- window (b): replay; crash between final->old and tmp->final -----
+    real_rename, armed_rn = os.rename, {"on": True}
+
+    def exploding_rename(src, dst):
+        if armed_rn["on"] and str(src).endswith("_compact_tmp"):
+            armed_rn["on"] = False
+            raise OSError("injected crash: swap")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", exploding_rename)
+    with pytest.raises(OSError, match="injected crash"):
+        dedup.process_batch(sigs_for(5), 5)
+    # the pre-existing final is parked at .old, nothing landed in its place:
+    # every row still reachable under a scanned name
+    assert (bands_root / "compacted=5.old").exists()
+    assert not (bands_root / "compacted=5").exists()
+    assert {(r.id_a, r.id_b) for r in dedup.matches().collect()} == pairs_upto(5)
+
+    # ---- self-heal: clean replay sweeps .old, re-merges, stream continues -
+    dedup.process_batch(sigs_for(5), 5)
+    assert not (bands_root / "compacted=5.old").exists()
+    dedup.process_batch(sigs_for(6), 6)
+    assert {(r.id_a, r.id_b) for r in dedup.matches().collect()} == pairs_upto(6)
+    # store stays tier-bounded after the turbulence
+    assert len(dedup._parts(str(bands_root))) <= 2 * 2 + 1
