@@ -124,3 +124,68 @@ def test_manifest_json_readable(spark, wh):
     assert json.dumps(d)  # serializable
     assert d["table"] == "m"
     assert d["row_count"] == 7
+
+
+def test_commit_crash_windows_recoverable(spark, wh, monkeypatch):
+    """White-box fault injection into the rename-rename commit: the docstring
+    claims every instant has a complete table either committed or recoverable
+    and the stale ``.__old__`` is swept on the next write. Inject a crash
+    (b) between ``final -> .__old__`` and ``tmp -> final`` (no committed
+    table, but the old commit is complete under ``.__old__`` and resume
+    recomputes), and (c) after ``tmp -> final`` but before the ``.__old__``
+    sweep (commit complete, stale dir swept by the next write)."""
+    df1 = spark.range(50).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    df2 = spark.range(60).select(F.col("id"), (F.col("id") * 3).alias("v"))
+    wh.write(df1, "t")
+    final = wh._dir("t")
+    old = final + ".__old__"
+
+    # ---- window (b): crash between the two renames -----------------------
+    real_rename, armed = os.rename, {"on": True}
+
+    def exploding_rename(src, dst):
+        if armed["on"] and str(src).endswith(".__tmp__"):
+            armed["on"] = False
+            raise OSError("injected crash: swap")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", exploding_rename)
+    with pytest.raises(OSError, match="injected crash"):
+        wh.write(df2, "t")
+    # no committed table — but the prior commit is COMPLETE under .__old__
+    # (data + manifest), recoverable by a rename; resume sees a cache miss
+    assert not os.path.exists(final)
+    assert os.path.exists(os.path.join(old, "_manifest.json"))
+    assert spark.read.parquet(old).count() == 50
+    assert not wh.exists("t")
+    # self-heal: get_or_compute recomputes and commits; the stale .__old__
+    # (and the leftover .__tmp__) are swept by the write path
+    got = wh.get_or_compute(spark, "t", lambda: df2)
+    assert got.count() == 60
+    assert wh.exists("t")
+    assert not os.path.exists(old)
+    assert not os.path.exists(final + ".__tmp__")
+
+    # ---- window (c): crash after commit, before the .__old__ sweep -------
+    import shutil
+
+    real_rmtree, armed_rm = shutil.rmtree, {"on": False}
+
+    def exploding_rmtree(path, *a, **kw):
+        if armed_rm["on"] and str(path).endswith(".__old__"):
+            armed_rm["on"] = False
+            raise OSError("injected crash: sweep")
+        return real_rmtree(path, *a, **kw)
+
+    monkeypatch.setattr(shutil, "rmtree", exploding_rmtree)
+    armed_rm["on"] = True
+    with pytest.raises(OSError, match="injected crash"):
+        wh.write(df1, "t")
+    # the NEW commit is complete and resumable; only the stale dir lingers
+    assert wh.exists("t")
+    assert wh.read(spark, "t").count() == 50
+    assert os.path.exists(old)
+    # next write sweeps it
+    wh.write(df2, "t")
+    assert not os.path.exists(old)
+    assert wh.read(spark, "t").count() == 60
