@@ -160,17 +160,34 @@ def seed_index(
     bands_dir, sigs_dir, matches_dir = _store_dirs(work_dir)
     for d in (bands_dir, sigs_dir, matches_dir):
         os.makedirs(d, exist_ok=True)
+    from cqaduplicatefind_spark.streaming.incremental import (
+        BAND_ROWS_PER_FILE,
+        SIG_ROWS_PER_FILE,
+        _n_files,
+    )
+
     sig = signature_frame(corpus_pages, cfg, id_col, text_col).persist()
     try:
+        # count FIRST: it materializes the signature cache at full input
+        # parallelism and sizes the store files; the coalesced writes below
+        # then merge hot cached partitions (no shuffle, no recompute) into
+        # size-targeted files — every later increment re-lists and re-opens
+        # these files per trigger, so a 32-files-per-tiny-store layout taxed
+        # every delta_dedup call (guide §6)
+        n = sig.count()
         explode_bands(sig, cfg).withColumn(
             "src_batch", F.lit(batch_id).cast("long")
+        ).coalesce(
+            _n_files(n * cfg.bands, BAND_ROWS_PER_FILE)
         ).write.mode("overwrite").parquet(
             os.path.join(bands_dir, f"batch={batch_id}")
         )
-        sig.select(*SIG_COLS).write.mode("overwrite").parquet(
+        sig.select(*SIG_COLS).coalesce(
+            _n_files(n, SIG_ROWS_PER_FILE)
+        ).write.mode("overwrite").parquet(
             os.path.join(sigs_dir, f"batch={batch_id}")
         )
-        return sig.count()
+        return n
     finally:
         sig.unpersist()
 
@@ -244,7 +261,12 @@ def delta_dedup(
     sig = signature_frame(new_pages, cfg, id_col, text_col)
     dedup.process_batch(sig, batch_id)
     # process_batch writes matches/batch=<id> unconditionally (empty frames
-    # included), so a read failure here is a real failure — let it propagate
-    edges = spark.read.parquet(os.path.join(matches_dir, f"batch={batch_id}"))
+    # included), so a read failure here is a real failure — let it propagate.
+    # Declared schema: no footer inference (same as the store reads).
+    from cqaduplicatefind_spark.streaming.incremental import EDGE_SCHEMA
+
+    edges = spark.read.schema(EDGE_SCHEMA).parquet(
+        os.path.join(matches_dir, f"batch={batch_id}")
+    )
     ids = new_pages.select(F.col(id_col).cast("string").alias("url")).distinct()
     return DeltaResult(edges=edges, new_ids=ids, stats=dedup.batch_stats[-1])

@@ -29,8 +29,25 @@ def build_session(
         "spark.sql.shuffle.partitions": str(shuffle_partitions),
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        # SIZE-driven coalescing (r6): with the default parallelismFirst=true
+        # AQE refuses to coalesce below defaultParallelism, so every tiny
+        # shuffle in the many-small-jobs paths (incremental store kernels, CC
+        # fixed-point probes, singleton queries) still scheduled 32 reduce
+        # tasks for kilobytes of data — pure task-launch overhead. Size-first
+        # coalescing collapses those to 1-2 tasks while big stages still get
+        # bytes/advisory tasks; 4m (not the 64m default) keeps mid-size
+        # CPU-bound stages (verify joins at sf0.1, tens of MB compressed) at
+        # healthy parallelism — coalescing can only merge DOWN from
+        # shuffle_partitions, so large stages are unchanged. Scale-adaptive by
+        # construction: partition count follows data volume.
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4m",
         # hot LSH bands produce skewed shuffle blocks; let AQE split them too
         "spark.sql.adaptive.skewJoin.enabled": "true",
+        # local-FS writes: commit algorithm v2 renames task output once
+        # instead of twice (job commit loops over per-task dirs in v1) — the
+        # incremental stores commit 3 writes per micro-batch
+        "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
         # Arrow transfer for pandas UDFs; bounded batches keep the numpy signature
         # kernels' intermediates small and the pipeline memory-stable
         "spark.sql.execution.arrow.pyspark.enabled": "true",

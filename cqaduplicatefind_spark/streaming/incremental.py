@@ -46,6 +46,7 @@ Design (the part that must stay sub-linear per batch at 10^12 docs):
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -66,6 +67,32 @@ EDGE_SCHEMA = (
     "id_a string, id_b string, jaccard double, est_jaccard double, "
     "hamming int, containment double"
 )
+
+# Explicit store schemas: reading with a declared schema skips parquet footer
+# schema inference entirely (the old mergeSchema=true read opened EVERY footer
+# in the store on EVERY trigger — measured at ~0.5s/trigger on a 4-batch sf0.1
+# store, and O(files) at scale). Parquet fills columns absent from a file with
+# NULLs, so legacy pre-``src_batch`` dirs read exactly as the mergeSchema path
+# read them (src_batch=null ⇒ treated as index; see _read_batches) — pinned by
+# tests/test_streaming.py's legacy-store tests.
+BAND_STORE_SCHEMA = "id string, band int, bh long, src_batch long"
+SIG_STORE_SCHEMA = (
+    "url string, minhash array<long>, simhash long, n_tokens int, "
+    "n_shingles int, shingles array<long>"
+)
+
+# File-sizing targets for the store writers (rows per output file). The stores
+# were previously written with the upstream partitioning (32-64 tiny files per
+# batch dir at bench scale): every trigger then re-listed and re-opened
+# hundreds of files across the accumulated dirs. Row-count-based sizing is
+# scale-free: a 6k-doc micro-batch folds to 1 file, a 10^9-row increment still
+# writes ~250 band files of a few hundred MB each (guide §6: aim 128MB-1GB).
+BAND_ROWS_PER_FILE = 4_000_000  # ~50B/row -> ~200MB files
+SIG_ROWS_PER_FILE = 250_000     # ~1KB/row (shingle payload) -> ~250MB files
+
+
+def _n_files(n_rows: int, rows_per_file: int) -> int:
+    return max(1, -(-int(n_rows) // int(rows_per_file)))
 
 
 def stream_signatures(pages_stream: DataFrame, cfg: DedupConfig) -> DataFrame:
@@ -113,6 +140,10 @@ class IncrementalDedup:
         self.count_index_stats = count_index_stats
         self.broadcast_touched_max = broadcast_touched_max
         self.batch_stats: list[dict] = []
+        # wall-clock per phase of each processed batch (read/pair/score/write/
+        # compact) — the profiling evidence the bench-leg optimization work
+        # reads; pure timing, no behavioral coupling
+        self.phase_times: list[dict] = []
         # logical band-index size, maintained arithmetically so the per-batch
         # stats never pay an O(index) count scan (the same per-trigger scale
         # hazard class the touched-bucket semi-join removes from pairing):
@@ -132,7 +163,8 @@ class IncrementalDedup:
         ]
 
     def _read_batches(
-        self, root: str, exclude_batch: int | None = None
+        self, root: str, exclude_batch: int | None = None,
+        schema: str | None = None,
     ) -> DataFrame | None:
         """Read the store; ``exclude_batch`` skips that batch's own
         ``batch=<id>`` subdir. Used by the replay path: a crash between the
@@ -152,15 +184,23 @@ class IncrementalDedup:
             parts = [p for p in parts if os.path.basename(p) != skip]
         if not parts:
             return None
-        # mergeSchema: a store written before the src_batch row tag existed
-        # (or a mixed store upgraded mid-stream) must still read with the tag
-        # column present — schema inference from a single legacy footer would
-        # otherwise drop it (and the caller's filter would throw). Footer
-        # count is bounded by the tier compaction (~2*compact_every dirs), so
-        # merging schemas stays O(1) per trigger.
+        if schema is not None:
+            # declared schema: zero footer reads; files lacking a column (a
+            # store written before the src_batch row tag existed, or a mixed
+            # store upgraded mid-stream) fill it with NULL — identical frames
+            # to the old mergeSchema read, without opening every footer on
+            # every trigger
+            return self.spark.read.schema(schema).parquet(*parts)
+        # no declared schema (callers outside the three known stores):
+        # mergeSchema keeps the tag column present even when inference from a
+        # single legacy footer would drop it. Footer count is bounded by the
+        # tier compaction (~2*compact_every dirs), so this stays O(1)/trigger.
         return self.spark.read.option("mergeSchema", "true").parquet(*parts)
 
-    def _merge(self, root: str, sources: list[str], final: str) -> None:
+    def _merge(
+        self, root: str, sources: list[str], final: str,
+        schema: str | None = None,
+    ) -> None:
         """Fold ``sources`` into ``final``, leaving the store a READABLE
         SUPERSET through every crash window: (1) the union is written to a temp
         dir no reader scans, (2) a pre-existing ``final`` (batch replay) is
@@ -173,14 +213,25 @@ class IncrementalDedup:
         import shutil
 
         tmp = os.path.join(root, "_compact_tmp")
-        # mergeSchema for the same reason _read_batches uses it: compacting a
-        # MIXED store (legacy pre-src_batch dirs + tagged dirs) must not let a
-        # single legacy footer's schema drop the tag column from the whole
-        # tier — replay exclusion would then read a replayed batch's pre-crash
-        # rows back as untagged "index" rows, permanently
-        self.spark.read.option("mergeSchema", "true").parquet(
-            *sources
-        ).write.mode("overwrite").parquet(tmp)
+        # declared schema when the store is a known one (same legacy-column
+        # rule as _read_batches: a MIXED store's pre-src_batch rows read the
+        # tag as NULL, never dropping the column from the tier); mergeSchema
+        # fallback otherwise. The fold is written size-targeted (one shuffle-
+        # free coalesce) instead of inheriting the scan's many-small-files
+        # partitioning — a tier must not multiply the file count it replaces.
+        src = (
+            self.spark.read.schema(schema).parquet(*sources)
+            if schema is not None
+            else self.spark.read.option("mergeSchema", "true").parquet(*sources)
+        )
+        n_bytes = sum(
+            os.path.getsize(os.path.join(p, f))
+            for p in sources
+            for f in os.listdir(p)
+            if f.endswith(".parquet")
+        )
+        target = max(1, -(-n_bytes // (512 * 1024 * 1024)))  # ~512MB/file
+        src.coalesce(target).write.mode("overwrite").parquet(tmp)
         old = final + ".old"
         if os.path.exists(final):
             if os.path.exists(old):
@@ -191,7 +242,9 @@ class IncrementalDedup:
             if p != final and os.path.exists(p):
                 shutil.rmtree(p)
 
-    def _maybe_compact(self, root: str, batch_id: int) -> None:
+    def _maybe_compact(
+        self, root: str, batch_id: int, schema: str | None = None
+    ) -> None:
         """TIERED compaction: once ``compact_every`` small ``batch=*`` parts
         accumulate they fold into ONE new ``compacted=<batch_id>`` tier —
         O(compact_every x batch) write work, NOT a rewrite of the whole store —
@@ -208,29 +261,52 @@ class IncrementalDedup:
             if os.path.basename(p).startswith("batch=")
         ]
         if len(batches) >= self.compact_every:
-            self._merge(root, batches, os.path.join(root, f"compacted={batch_id}"))
+            self._merge(
+                root, batches, os.path.join(root, f"compacted={batch_id}"),
+                schema=schema,
+            )
         tiers = [
             p for p in self._parts(root)
             if os.path.basename(p).startswith("compacted=")
         ]
         if len(tiers) >= self.compact_every:
-            self._merge(root, tiers, os.path.join(root, f"compacted={batch_id}m"))
+            self._merge(
+                root, tiers, os.path.join(root, f"compacted={batch_id}m"),
+                schema=schema,
+            )
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         cfg = self.cfg
+        phases: dict[str, float] = {"batch_id": int(batch_id)}
+        _t0 = time.perf_counter()
+
+        def _mark(name: str) -> None:
+            nonlocal _t0
+            now = time.perf_counter()
+            phases[name] = round(phases.get(name, 0.0) + (now - _t0), 3)
+            _t0 = now
+
         batch_df = batch_df.where(F.col("n_shingles") > 0).persist()
         # every frame persisted mid-batch lands here and is released in the
         # finally block: a failed write/compaction must not strand caches in a
         # long-lived session (the delta path runs one processor per increment)
         held: list[DataFrame] = [batch_df]
         try:
+            # materialize the batch cache ONCE, up front: n_new feeds the
+            # stats row, the broadcast-decision bound, the exact band-row
+            # arithmetic, and the store writers' file sizing — the old flow
+            # re-derived each of those with its own job
+            n_new = batch_df.count()
+            _mark("batch_count")
             new_bands = explode_bands(batch_df, cfg).withColumn(
                 "is_new", F.lit(True)
             ).persist()
             held.append(new_bands)
             idx_bands = self._read_batches(
-                self.bands_dir, exclude_batch=int(batch_id)
+                self.bands_dir, exclude_batch=int(batch_id),
+                schema=BAND_STORE_SCHEMA,
             )
+            _mark("read_band_store")
             if idx_bands is not None:
                 # exact replay exclusion by row tag (see _read_batches): rows
                 # this batch appended before a crash are not "index" even when
@@ -273,12 +349,13 @@ class IncrementalDedup:
                 # when it fits (the streaming case), plain shuffle semi-join
                 # when a huge batch increment exceeds broadcast_touched_max
                 # (such an increment touches most buckets anyway, so the wide
-                # join is the right plan there)
-                touched = new_bands.select("band", "bh").distinct().persist()
-                held.append(touched)
+                # join is the right plan there). The decision uses the free
+                # upper bound n_new*bands (distinct keys can only be fewer)
+                # instead of paying a count job to learn the exact size.
+                touched = new_bands.select("band", "bh").distinct()
                 probe = (
                     F.broadcast(touched)
-                    if touched.count() <= self.broadcast_touched_max
+                    if n_new * cfg.bands <= self.broadcast_touched_max
                     else touched
                 )
                 idx_touched = (
@@ -290,7 +367,7 @@ class IncrementalDedup:
                 )
                 held.append(idx_touched)
                 n_idx_joined = idx_touched.count()
-                touched.unpersist()
+                _mark("idx_semi_join")
                 all_bands = idx_touched.withColumn(
                     "is_new", F.lit(False)
                 ).unionByName(new_bands)
@@ -312,13 +389,17 @@ class IncrementalDedup:
             ).persist()
             held.append(cand)
             n_cand = cand.count()
+            _mark("pairing")
 
             # fetch signature payloads ONLY for ids in candidate pairs; a
             # quiet batch (zero candidates) skips the store read entirely —
-            # otherwise the semi-join still scans every sig part for nothing
+            # otherwise the semi-join still scans every sig part for nothing.
+            # The fetch is NOT pre-counted: the scoring job below is its first
+            # action (one job materializes fetch + verify + write), and the
+            # stats count afterwards reads the already-populated cache.
             if n_cand == 0:
-                needed = batch_df.select(*SIG_COLS).limit(0).persist()
-                held.append(needed)
+                needed = batch_df.select(*SIG_COLS).limit(0)
+                n_payload = 0
             else:
                 ids = (
                     cand.select(F.col("id_a").alias("url"))
@@ -326,7 +407,8 @@ class IncrementalDedup:
                     .distinct()
                 )
                 idx_sigs = self._read_batches(
-                    self.sigs_dir, exclude_batch=int(batch_id)
+                    self.sigs_dir, exclude_batch=int(batch_id),
+                    schema=SIG_STORE_SCHEMA,
                 )
                 store = (
                     batch_df.select(*SIG_COLS)
@@ -339,7 +421,6 @@ class IncrementalDedup:
                     .persist()
                 )
                 held.append(needed)
-            n_payload = needed.count()
 
             edges = accept_edges(
                 score_pairs(cand, needed, cfg, evidence=cfg.verify_evidence), cfg
@@ -347,11 +428,15 @@ class IncrementalDedup:
             edges.write.mode("overwrite").parquet(
                 os.path.join(self.matches_dir, f"batch={batch_id}")
             )
+            _mark("score_write")
+            if n_cand > 0:
+                n_payload = needed.count()  # cache populated by the write job
+                _mark("payload_count")
 
             self.batch_stats.append(
                 {
                     "batch_id": int(batch_id),
-                    "n_new_docs": batch_df.count(),
+                    "n_new_docs": n_new,
                     # logical index size BEFORE this batch, from the running
                     # total (a replayed batch's own prior append is excluded —
                     # its overwrite replaces those rows, they are not "index");
@@ -372,27 +457,43 @@ class IncrementalDedup:
                     "n_sig_payload_rows": n_payload,
                 }
             )
+            _mark("stats_count")
 
             # idempotent index append: replays overwrite their own subdirs.
             # src_batch rides every band row so replay exclusion stays exact
-            # after compaction renames the row's home dir (see _read_batches)
+            # after compaction renames the row's home dir (see _read_batches).
+            # Both writers read hot caches (materialized by the pairing job),
+            # so the coalesce merges cached partitions — no shuffle, no
+            # recompute — into size-targeted files instead of one tiny file
+            # per upstream partition.
+            n_band_rows = n_new * cfg.bands  # explode_bands: exactly bands/doc
             new_bands.drop("is_new").withColumn(
                 "src_batch", F.lit(int(batch_id)).cast("long")
+            ).coalesce(
+                _n_files(n_band_rows, BAND_ROWS_PER_FILE)
             ).write.mode("overwrite").parquet(
                 os.path.join(self.bands_dir, f"batch={batch_id}")
             )
-            self._band_rows_by_batch[int(batch_id)] = new_bands.count()
-            batch_df.select(*SIG_COLS).write.mode("overwrite").parquet(
+            _mark("bands_write")
+            self._band_rows_by_batch[int(batch_id)] = n_band_rows
+            batch_df.select(*SIG_COLS).coalesce(
+                _n_files(n_new, SIG_ROWS_PER_FILE)
+            ).write.mode("overwrite").parquet(
                 os.path.join(self.sigs_dir, f"batch={batch_id}")
             )
-            self._maybe_compact(self.bands_dir, int(batch_id))
-            self._maybe_compact(self.sigs_dir, int(batch_id))
+            _mark("sigs_write")
+            self._maybe_compact(self.bands_dir, int(batch_id),
+                                schema=BAND_STORE_SCHEMA)
+            self._maybe_compact(self.sigs_dir, int(batch_id),
+                                schema=SIG_STORE_SCHEMA)
+            _mark("compact")
         finally:
             for df in held:
                 df.unpersist()
+            self.phase_times.append(phases)
 
     def matches(self) -> DataFrame:
-        m = self._read_batches(self.matches_dir)
+        m = self._read_batches(self.matches_dir, schema=EDGE_SCHEMA)
         if m is None:
             return self.spark.createDataFrame([], EDGE_SCHEMA)
         return m
