@@ -538,6 +538,7 @@ def q_bm25_topk(spark, sf):
         # trivial self-hit must be dropped; with an independent query table
         # the default leaves id-colliding candidates alone
         exclude_self=True,
+        persisted=_fresh_handles("bm25_topk"),
     )
 
 
@@ -907,7 +908,12 @@ def q_retrieval_metrics(spark, sf):
     src/BM25DuplicateRetriever.py:85-103 semantics."""
     from cqaduplicatefind_spark.operators.metrics import ranked_retrieval_metrics
 
-    jac = q_ngram_jaccard(spark, sf).withColumnRenamed("jaccard", "score")
+    # jac feeds THREE consumers (both ranked orientations + the gold edges):
+    # uncached, the whole ngram pair kernel's subtree is replicated per
+    # consumer (186 Exchange nodes in the round-6 before-plan vs ~60 after) —
+    # the cache computes it once. Handle released on the next invocation.
+    jac = q_ngram_jaccard(spark, sf).withColumnRenamed("jaccard", "score").persist()
+    _fresh_handles("retrieval_metrics").append(jac)
     ranked = jac.select(
         F.col("id_a").alias("query_id"),
         F.col("id_b").alias("candidate_id"),

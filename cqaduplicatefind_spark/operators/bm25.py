@@ -59,6 +59,7 @@ def bm25_topk(
     id_col: str = "doc_id",
     text_col: str = "text",
     exclude_self: bool | None = None,
+    persisted: list | None = None,
 ) -> DataFrame:
     """(query_id, candidate_id, bm25, rank): top-``k`` corpus docs per query by
     BM25Okapi score (ties broken by candidate id; a doc sharing no query term
@@ -90,6 +91,13 @@ def bm25_topk(
         .groupBy("doc_id", "dl", "term")
         .agg(F.count("*").alias("tf"))
     )
+    if persisted is not None:
+        # postings feed TWO consumers (document frequencies + the scoring
+        # join): uncached, the token explode + tf aggregation — the operator's
+        # widest shuffle — runs once per consumer (r6; same handle contract as
+        # operators/lm_quality.py, caller releases)
+        postings = postings.persist()
+        persisted.append(postings)
     dfreq = postings.groupBy("term").agg(F.count("*").alias("df"))
     idf_raw = dfreq.crossJoin(stats).select(
         "term",

@@ -105,11 +105,17 @@ def signature_stage(
 ) -> DataFrame:
     # norm_text + span_fps ride along for the exact-span pass (fingerprint
     # explode + span verify read them from the signatures stage table); every
-    # other consumer prunes them at the scan via explicit selects
+    # other consumer prunes them at the scan via explicit selects. With the
+    # span pass OFF nobody ever reads them, and keeping norm_text (the full
+    # normalized document — the widest column in the frame) would still
+    # materialize it into the persisted stage cache: column pruning happens at
+    # cache READS, not at the cache build (r6 optimization; the span-free and
+    # html bench flavors build a signature cache ~2x slimmer).
     keep = ["url"] + ([group_col] if group_col else []) + [
         "minhash", "simhash", "n_tokens", "n_shingles", "shingles",
-        "span_fps", "norm_text",
     ]
+    if cfg.span_pass and cfg.min_overlap_span > 0:
+        keep += ["span_fps", "norm_text"]
     return with_signatures(normalized, cfg, "norm_text").select(*keep)
 
 

@@ -366,8 +366,9 @@ class IncrementalDedup:
                     .persist()
                 )
                 held.append(idx_touched)
-                n_idx_joined = idx_touched.count()
-                _mark("idx_semi_join")
+                # NOT pre-counted: the pairing job below materializes this
+                # cache inline (one job barrier instead of two); the stats
+                # count afterwards reads the populated cache
                 all_bands = idx_touched.withColumn(
                     "is_new", F.lit(False)
                 ).unionByName(new_bands)
@@ -390,6 +391,9 @@ class IncrementalDedup:
             held.append(cand)
             n_cand = cand.count()
             _mark("pairing")
+            if idx_touched is not None:
+                n_idx_joined = idx_touched.count()  # cache hot from pairing
+                _mark("idx_count")
 
             # fetch signature payloads ONLY for ids in candidate pairs; a
             # quiet batch (zero candidates) skips the store read entirely —
@@ -406,6 +410,13 @@ class IncrementalDedup:
                     .unionByName(cand.select(F.col("id_b").alias("url")))
                     .distinct()
                 )
+                if 2 * n_cand <= self.broadcast_touched_max:
+                    # candidate endpoints are a tiny set in the streaming
+                    # case: broadcasting them keeps the store scan shuffle-
+                    # free for the semi-join (the same bound-based decision
+                    # as the touched-bucket probe; huge increments fall back
+                    # to the shuffle semi-join)
+                    ids = F.broadcast(ids)
                 idx_sigs = self._read_batches(
                     self.sigs_dir, exclude_batch=int(batch_id),
                     schema=SIG_STORE_SCHEMA,
