@@ -48,13 +48,15 @@ def build_session(
         # sees unmaterialized caches/store scans and estimates them large, so
         # the verify-side joins (candidate pairs x signature payloads) planned
         # sort-merge even when the runtime side is a few MB. AQE re-decides
-        # per query stage from EXACT shuffle sizes: <=64m builds a broadcast
-        # hash join (skips the sort and the probe-side exchange network read),
-        # and partitions <=64m may build local shuffled-hash joins (skips the
-        # sort). Both are size-gated at runtime, so a 100TB run with
-        # multi-GB stages keeps sort-merge automatically — nothing here is
-        # tuned to the local corpus size.
-        "spark.sql.adaptive.autoBroadcastJoinThreshold": "64m",
+        # per query stage from EXACT shuffle sizes: <=24m builds a broadcast
+        # hash join (skips the sort and the probe-side exchange network read;
+        # kept below the verify-join payload sizes — building a 40-80MB hash
+        # relation single-threaded measurably taxed the pipeline legs in the
+        # 64m A/B), and partitions <=64m may build local shuffled-hash joins
+        # (skips the sort, parallel build). Both are size-gated at runtime,
+        # so a 100TB run with multi-GB stages keeps sort-merge automatically —
+        # nothing here is tuned to the local corpus size.
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "24m",
         "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "64m",
         # local-FS writes: commit algorithm v2 renames task output once
         # instead of twice (job commit loops over per-task dirs in v1) — the

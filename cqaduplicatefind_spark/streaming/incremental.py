@@ -436,9 +436,42 @@ class IncrementalDedup:
             edges = accept_edges(
                 score_pairs(cand, needed, cfg, evidence=cfg.verify_evidence), cfg
             )
-            edges.write.mode("overwrite").parquet(
-                os.path.join(self.matches_dir, f"batch={batch_id}")
-            )
+
+            # the three per-batch writes are mutually independent (distinct
+            # dirs, distinct cached sources) and every one is idempotent per
+            # batch_id — overwrite-by-subdir — so ANY interleaving/crash
+            # prefix replays correctly (the same exactly-once argument as the
+            # serial order). Overlapping them fills each job's straggler tail
+            # with the next job's tasks (guide §2.6) instead of paying three
+            # serial job latencies.
+            from concurrent.futures import ThreadPoolExecutor
+
+            n_band_rows = n_new * cfg.bands  # explode_bands: exactly bands/doc
+
+            def _write_bands():
+                new_bands.drop("is_new").withColumn(
+                    "src_batch", F.lit(int(batch_id)).cast("long")
+                ).coalesce(
+                    _n_files(n_band_rows, BAND_ROWS_PER_FILE)
+                ).write.mode("overwrite").parquet(
+                    os.path.join(self.bands_dir, f"batch={batch_id}")
+                )
+
+            def _write_sigs():
+                batch_df.select(*SIG_COLS).coalesce(
+                    _n_files(n_new, SIG_ROWS_PER_FILE)
+                ).write.mode("overwrite").parquet(
+                    os.path.join(self.sigs_dir, f"batch={batch_id}")
+                )
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                f_bands = pool.submit(_write_bands)
+                f_sigs = pool.submit(_write_sigs)
+                edges.write.mode("overwrite").parquet(
+                    os.path.join(self.matches_dir, f"batch={batch_id}")
+                )
+                f_bands.result()
+                f_sigs.result()
             _mark("score_write")
             if n_cand > 0:
                 n_payload = needed.count()  # cache populated by the write job
@@ -470,29 +503,14 @@ class IncrementalDedup:
             )
             _mark("stats_count")
 
-            # idempotent index append: replays overwrite their own subdirs.
-            # src_batch rides every band row so replay exclusion stays exact
-            # after compaction renames the row's home dir (see _read_batches).
-            # Both writers read hot caches (materialized by the pairing job),
-            # so the coalesce merges cached partitions — no shuffle, no
-            # recompute — into size-targeted files instead of one tiny file
-            # per upstream partition.
-            n_band_rows = n_new * cfg.bands  # explode_bands: exactly bands/doc
-            new_bands.drop("is_new").withColumn(
-                "src_batch", F.lit(int(batch_id)).cast("long")
-            ).coalesce(
-                _n_files(n_band_rows, BAND_ROWS_PER_FILE)
-            ).write.mode("overwrite").parquet(
-                os.path.join(self.bands_dir, f"batch={batch_id}")
-            )
-            _mark("bands_write")
+            # index append bookkeeping: the writes themselves ran overlapped
+            # with the matches write above (src_batch rides every band row so
+            # replay exclusion stays exact after compaction renames the row's
+            # home dir — see _read_batches); both writers read hot caches
+            # materialized by the pairing job, and coalesce merges cached
+            # partitions — no shuffle, no recompute — into size-targeted
+            # files instead of one tiny file per upstream partition.
             self._band_rows_by_batch[int(batch_id)] = n_band_rows
-            batch_df.select(*SIG_COLS).coalesce(
-                _n_files(n_new, SIG_ROWS_PER_FILE)
-            ).write.mode("overwrite").parquet(
-                os.path.join(self.sigs_dir, f"batch={batch_id}")
-            )
-            _mark("sigs_write")
             self._maybe_compact(self.bands_dir, int(batch_id),
                                 schema=BAND_STORE_SCHEMA)
             self._maybe_compact(self.sigs_dir, int(batch_id),
