@@ -103,8 +103,22 @@ def main() -> None:
             os.path.join(work, "bands"), os.path.join(work, "sigs"),
             os.path.join(work, "matches"),
         )
-        idx_bands = dedup._read_batches(dedup.bands_dir, exclude_batch=1)
-        sig_store = dedup._read_batches(dedup.sigs_dir, exclude_batch=1)
+        # suffix "before" reproduces the round-start read path (schema
+        # inference via mergeSchema); "after" uses the declared-schema reads
+        # process_batch now issues
+        from cqaduplicatefind_spark.streaming.incremental import (
+            BAND_STORE_SCHEMA,
+            SIG_STORE_SCHEMA,
+        )
+
+        band_schema = BAND_STORE_SCHEMA if suffix != "before" else None
+        sig_schema = SIG_STORE_SCHEMA if suffix != "before" else None
+        idx_bands = dedup._read_batches(
+            dedup.bands_dir, exclude_batch=1, schema=band_schema
+        )
+        sig_store = dedup._read_batches(
+            dedup.sigs_dir, exclude_batch=1, schema=sig_schema
+        )
         batch = (
             with_signatures(pages.withColumn("norm_text", F.col("text")), cfg,
                             "norm_text")
