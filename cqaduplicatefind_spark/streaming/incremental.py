@@ -511,6 +511,9 @@ class IncrementalDedup:
             # partitions — no shuffle, no recompute — into size-targeted
             # files instead of one tiny file per upstream partition.
             self._band_rows_by_batch[int(batch_id)] = n_band_rows
+            # compaction stays SERIAL (unlike the writes above): the merge
+            # crash-window tests pin per-dir fault sequencing, and an A/B of
+            # overlapping the two folds broke that pinned contract for ~0.5s
             self._maybe_compact(self.bands_dir, int(batch_id),
                                 schema=BAND_STORE_SCHEMA)
             self._maybe_compact(self.sigs_dir, int(batch_id),
